@@ -1,0 +1,255 @@
+"""Host-side problem compiler: SDPProblem -> padded device index arrays.
+
+TPU-native re-design of the reference's one-time sparse-constraint
+preprocessing (reference: src/preprocess.jl:24-169 and the
+SolverAuxiliary constructor, src/structs.jl:296-361).
+
+The reference builds, once per problem:
+  * an *aggregate* upper-triangular sparsity pattern (union of all sparse
+    constraints + C),
+  * per-constraint index slices into that aggregate nnz array with two
+    value arrays (`nzval_one` raw values for assembling S, `nzval_two`
+    off-diagonal-doubled values for triu inner products),
+  * a full<->triu position map.
+
+Here the same information is compiled into **padded, statically-shaped
+arrays** so every hot operator is a jittable gather / segment-sum /
+matmul with no dynamic shapes:
+
+  agg_rows/agg_cols [P]  triu aggregate pattern (the gather pattern for
+                         sampling UUᵀ at nnz positions)
+  ent_*             [E]  flattened (constraint, entry) pairs: aggregate
+                         position, global constraint id (m == objective),
+                         val_one, val_two  — forward op = gather +
+                         segment-sum over ent_con_id; adjoint S assembly
+                         = segment-sum over ent_agg_idx
+  ell_cols/ell_tri  [n_pad, W] + tail COO — the full symmetric pattern of
+                         S in ELL(+overflow) layout for the SpMM G = S@R
+
+Low-rank (B d Bᵀ) operands bypass the sparse pipeline entirely and become
+dense tall-skinny MXU matmuls (reference: src/coreop.jl:115-151,271-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from .problem import SDPProblem, SparseSym, SymLowRank
+
+INDEX_DTYPE = np.int32
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+@dataclasses.dataclass(frozen=True)
+class LowRankTerm:
+    """One SymLowRank operand: global id + padded device factors."""
+
+    gid: int          # position in the (m+1)-length constraint-value vector
+    B: np.ndarray     # (n_pad, s)
+    d: np.ndarray     # (s,)
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledProblem:
+    """Statically-shaped host arrays ready to be pushed to device.
+
+    All index arrays are int32; value arrays are float64 on host and cast
+    to the solver dtype in ``device_arrays``.
+    """
+
+    # dimensions
+    n: int
+    m: int
+    n_pad: int
+    P: int            # true triu-aggregate nnz
+    P_pad: int        # padded; slot (P_pad - 1) is a guaranteed-zero slot
+    ell_width: int
+
+    # triu aggregate pattern (gather pattern for UUᵀ sampling)
+    agg_rows: np.ndarray      # (P_pad,)
+    agg_cols: np.ndarray      # (P_pad,)
+
+    # flattened per-constraint entries
+    ent_agg_idx: np.ndarray   # (E_pad,)
+    ent_con_id: np.ndarray    # (E_pad,)
+    ent_val_one: np.ndarray   # (E_pad,)
+    ent_val_two: np.ndarray   # (E_pad,)
+
+    # full symmetric pattern of S in ELL + COO-tail layout
+    ell_cols: np.ndarray      # (n_pad, W)
+    ell_tri: np.ndarray       # (n_pad, W) -> index into s_tri (P_pad,)
+    tail_rows: np.ndarray     # (T_pad,)
+    tail_cols: np.ndarray     # (T_pad,)
+    tail_tri: np.ndarray      # (T_pad,)
+
+    # vectors
+    b: np.ndarray             # (m,)
+    lam_ub: np.ndarray        # (m,)  0 for <=, +inf for ==   (src/structs.jl:230)
+    vio_lb: np.ndarray        # (m,)  0 for <=, -inf for ==   (src/structs.jl:247)
+
+    # low-rank operands
+    lowrank: Tuple[LowRankTerm, ...]
+
+    # norms for relative tolerances (src/sdplr.jl:159-160)
+    normC: float
+    normb: float
+
+    has_inequalities: bool
+
+
+def _triu_of(A: SparseSym) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    keep = A.rows <= A.cols
+    return A.rows[keep], A.cols[keep], A.vals[keep]
+
+
+def compile_problem(
+    prob: SDPProblem,
+    *,
+    row_pad: int = 128,
+    nnz_pad: int = 128,
+    ell_width: int | None = None,
+) -> CompiledProblem:
+    n, m = prob.n, prob.m
+    n_pad = _round_up(max(n, 8), row_pad)
+
+    # ---- classify operands (reference: src/structs.jl:303-331) -------------
+    sparse_ops: List[Tuple[int, SparseSym]] = []
+    lowrank_ops: List[Tuple[int, SymLowRank]] = []
+    for gid, A in enumerate(list(prob.As) + [prob.C]):
+        if isinstance(A, SparseSym):
+            sparse_ops.append((gid, A))
+        else:
+            lowrank_ops.append((gid, A))
+
+    # ---- aggregate triu pattern (src/preprocess.jl:42-93) ------------------
+    if sparse_ops:
+        tri_keys = []
+        for _, A in sparse_ops:
+            ti, tj, _ = _triu_of(A)
+            tri_keys.append(ti.astype(np.int64) * n + tj.astype(np.int64))
+        agg_keys = np.unique(np.concatenate(tri_keys))
+    else:
+        agg_keys = np.zeros(0, dtype=np.int64)
+    P = agg_keys.shape[0]
+    P_pad = _round_up(P + 1, nnz_pad)  # +1 keeps one guaranteed-zero slot
+    agg_rows = np.zeros(P_pad, dtype=INDEX_DTYPE)
+    agg_cols = np.zeros(P_pad, dtype=INDEX_DTYPE)
+    agg_rows[:P] = agg_keys // n
+    agg_cols[:P] = agg_keys % n
+
+    # ---- per-constraint entry arrays (src/preprocess.jl:95-135) ------------
+    e_idx, e_cid, e_v1, e_v2 = [], [], [], []
+    for gid, A in sparse_ops:
+        ti, tj, tv = _triu_of(A)
+        keys = ti.astype(np.int64) * n + tj.astype(np.int64)
+        pos = np.searchsorted(agg_keys, keys)
+        e_idx.append(pos)
+        e_cid.append(np.full(pos.shape[0], gid, dtype=np.int64))
+        e_v1.append(tv)
+        e_v2.append(np.where(ti == tj, tv, 2.0 * tv))
+    if e_idx:
+        ent_agg_idx = np.concatenate(e_idx)
+        ent_con_id = np.concatenate(e_cid)
+        ent_val_one = np.concatenate(e_v1)
+        ent_val_two = np.concatenate(e_v2)
+    else:
+        ent_agg_idx = np.zeros(0, dtype=np.int64)
+        ent_con_id = np.zeros(0, dtype=np.int64)
+        ent_val_one = np.zeros(0)
+        ent_val_two = np.zeros(0)
+    E = ent_agg_idx.shape[0]
+    E_pad = _round_up(max(E, 1), nnz_pad)
+    pad = E_pad - E
+    # padding entries: zero weight, point at the zero slot / objective segment
+    ent_agg_idx = np.concatenate([ent_agg_idx, np.full(pad, P_pad - 1, dtype=np.int64)])
+    ent_con_id = np.concatenate([ent_con_id, np.full(pad, m, dtype=np.int64)])
+    ent_val_one = np.concatenate([ent_val_one, np.zeros(pad)])
+    ent_val_two = np.concatenate([ent_val_two, np.zeros(pad)])
+
+    # ---- full symmetric pattern -> ELL + tail (src/preprocess.jl:137-159) ---
+    # full pattern = triu entries + mirror of strict-triu entries
+    fr = agg_keys // n
+    fc = agg_keys % n
+    tri_idx = np.arange(P, dtype=np.int64)
+    off = fr != fc
+    full_rows = np.concatenate([fr, fc[off]])
+    full_cols = np.concatenate([fc, fr[off]])
+    full_tri = np.concatenate([tri_idx, tri_idx[off]])
+    order = np.argsort(full_rows * np.int64(n) + full_cols, kind="stable")
+    full_rows, full_cols, full_tri = full_rows[order], full_cols[order], full_tri[order]
+
+    deg = np.bincount(full_rows, minlength=n)
+    max_deg = int(deg.max()) if deg.size else 0
+    if ell_width is None:
+        mean_deg = float(deg.mean()) if deg.size else 0.0
+        W = int(min(max_deg, max(8, int(np.ceil(4.0 * max(mean_deg, 1.0))))))
+        W = max(_round_up(max(W, 1), 8), 8)
+    else:
+        W = max(int(ell_width), 1)
+
+    ell_cols = np.zeros((n_pad, W), dtype=INDEX_DTYPE)
+    ell_tri = np.full((n_pad, W), P_pad - 1, dtype=np.int64)  # zero slot
+    rank_in_row = np.arange(full_rows.shape[0]) - np.concatenate(
+        [[0], np.cumsum(deg)]
+    )[full_rows]
+    in_ell = rank_in_row < W
+    ell_cols[full_rows[in_ell], rank_in_row[in_ell]] = full_cols[in_ell]
+    ell_tri[full_rows[in_ell], rank_in_row[in_ell]] = full_tri[in_ell]
+
+    t_rows, t_cols, t_tri = full_rows[~in_ell], full_cols[~in_ell], full_tri[~in_ell]
+    T = t_rows.shape[0]
+    T_pad = _round_up(max(T, 0), nnz_pad) if T > 0 else 0
+    tail_rows = np.zeros(T_pad, dtype=INDEX_DTYPE)
+    tail_cols = np.zeros(T_pad, dtype=INDEX_DTYPE)
+    tail_tri = np.full(T_pad, P_pad - 1, dtype=np.int64)
+    tail_rows[:T] = t_rows
+    tail_cols[:T] = t_cols
+    tail_tri[:T] = t_tri
+
+    # ---- low-rank terms ------------------------------------------------------
+    lr_terms = []
+    for gid, A in lowrank_ops:
+        Bp = np.zeros((n_pad, A.B.shape[1]))
+        Bp[:n] = A.B
+        lr_terms.append(LowRankTerm(gid=gid, B=Bp, d=A.d.copy()))
+
+    # ---- duals' bounds from constraint types (src/structs.jl:230,247) -------
+    ct = prob.constraint_types
+    lam_ub = np.where(ct, 0.0, np.inf)
+    vio_lb = np.where(ct, 0.0, -np.inf)
+
+    normC = prob.C.norm_fro()
+    normb = float(np.linalg.norm(prob.b))
+
+    return CompiledProblem(
+        n=n,
+        m=m,
+        n_pad=n_pad,
+        P=P,
+        P_pad=P_pad,
+        ell_width=W,
+        agg_rows=agg_rows,
+        agg_cols=agg_cols,
+        ent_agg_idx=ent_agg_idx.astype(INDEX_DTYPE),
+        ent_con_id=ent_con_id.astype(INDEX_DTYPE),
+        ent_val_one=ent_val_one,
+        ent_val_two=ent_val_two,
+        ell_cols=ell_cols,
+        ell_tri=ell_tri.astype(INDEX_DTYPE),
+        tail_rows=tail_rows,
+        tail_cols=tail_cols,
+        tail_tri=tail_tri.astype(INDEX_DTYPE),
+        b=prob.b.copy(),
+        lam_ub=lam_ub,
+        vio_lb=vio_lb,
+        lowrank=tuple(lr_terms),
+        normC=normC,
+        normb=normb,
+        has_inequalities=prob.has_inequalities,
+    )

@@ -1,0 +1,78 @@
+"""Solver configuration.
+
+TPU-native re-design of the reference's ``BurerMonteiroConfig``
+(reference: src/options.jl:1-24). All knobs carry the same semantics and
+defaults; TPU-specific knobs (dtype, inner_chunk, ...) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    # -- tolerances (reference: src/options.jl:2-4,21-23) --------------------
+    ptol: float = 1e-2            # primal infeasibility tolerance
+    gtol: float = 0.0             # stationarity tolerance
+    objtol: float = 1e-2          # duality-gap tolerance (inf to skip)
+    ptol_mode: str = "relative"   # 'relative' (/ ||b||) or 'absolute'
+    gtol_mode: str = "relative"   # 'relative' (/ ||C||_F) or 'absolute'
+    objtol_mode: str = "relative"
+
+    # -- augmented-Lagrangian schedule (src/options.jl:5-6) ------------------
+    sigma0: float = 2.0           # initial penalty parameter
+    sigmafac: float = 2.0         # penalty growth factor
+
+    # -- iteration / time limits (src/options.jl:7,11-12) --------------------
+    maxtime: float = 3600.0
+    maxmajoriter: int = 10**5
+    maxiter: int = 10**7
+
+    # -- optimizer (src/options.jl:10,13-14) ----------------------------------
+    numlbfgsvecs: int = 4
+    fprec: float = 1e8            # stagnation break: rel ΔL < fprec * eps
+    rankupd_tol: int = 4          # majoriters w/o gap progress before rank x2
+
+    # -- problem knowledge (src/options.jl:15) --------------------------------
+    prior_trace_bound: float = 1e18
+
+    # -- observability (src/options.jl:8-9,16-17) -----------------------------
+    printlevel: int = 1
+    printfreq: float = 60.0
+    dataset: str = ""
+    eval_DIMACS_errs: bool = False
+
+    # -- eigensolver for the dual bound (src/options.jl:18) -------------------
+    # False: randomized Lanczos (default). True: high-precision path
+    # (Lanczos with full reorthogonalization + more iterations).
+    eigval_highprecision: bool = False
+
+    # -- custom initialization (src/options.jl:19-20) -------------------------
+    # init_func(problem, r, *init_args) -> (R0 [n, r], lam0 [m])
+    init_func: Optional[Callable[..., Any]] = None
+    init_args: Tuple = ()
+
+    # -- TPU-specific ----------------------------------------------------------
+    # dtype of all device computation. None -> float64 when jax x64 is
+    # enabled (unit-test path on CPU), float32 otherwise (TPU fast path).
+    dtype: Optional[str] = None
+    seed: int = 0                 # PRNG seed for random R0 / Lanczos start
+    inner_chunk: int = 1000       # device inner-loop steps per host sync
+    lanczos_tol_scale: float = 1.0
+
+    def copy_with(self, **kwargs) -> "SolverConfig":
+        unknown = set(kwargs) - {f.name for f in dataclasses.fields(self)}
+        if unknown:
+            raise ValueError(f"Unrecognized config keyword(s): {sorted(unknown)}")
+        return dataclasses.replace(self, **kwargs)
+
+
+def resolve_dtype(config: SolverConfig):
+    import jax
+    import jax.numpy as jnp
+
+    if config.dtype is not None:
+        return jnp.dtype(config.dtype)
+    return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)

@@ -1,0 +1,96 @@
+"""DeviceProblem: the compiled problem as a jit-friendly pytree.
+
+Array leaves live on device; dimensions and layout metadata are static
+aux data so every operator specializes once per problem shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compile import CompiledProblem
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceLowRank:
+    B: jax.Array  # (n_pad, s)
+    d: jax.Array  # (s,)
+    gid: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceProblem:
+    # -- array leaves ---------------------------------------------------------
+    agg_rows: jax.Array
+    agg_cols: jax.Array
+    ent_agg_idx: jax.Array
+    ent_con_id: jax.Array
+    ent_val_one: jax.Array
+    ent_val_two: jax.Array
+    ell_cols: jax.Array
+    ell_tri: jax.Array
+    tail_rows: jax.Array
+    tail_cols: jax.Array
+    tail_tri: jax.Array
+    b: jax.Array
+    lam_ub: jax.Array
+    vio_lb: jax.Array
+    lowrank: Tuple[DeviceLowRank, ...]
+
+    # -- static metadata ------------------------------------------------------
+    n: int = dataclasses.field(metadata=dict(static=True), default=0)
+    m: int = dataclasses.field(metadata=dict(static=True), default=0)
+    n_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+    P_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
+    ell_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    has_tail: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    normb: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+
+    @property
+    def dtype(self):
+        return self.b.dtype
+
+
+def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
+    dtype = jnp.dtype(dtype)
+    f = lambda x: jnp.asarray(np.asarray(x), dtype=dtype)
+    i = lambda x: jnp.asarray(np.asarray(x), dtype=jnp.int32)
+    lr = tuple(
+        DeviceLowRank(B=f(t.B), d=f(t.d), gid=t.gid) for t in cp.lowrank
+    )
+    # lam_ub / vio_lb carry +-inf — representable in f32/f64 alike
+    return DeviceProblem(
+        agg_rows=i(cp.agg_rows),
+        agg_cols=i(cp.agg_cols),
+        ent_agg_idx=i(cp.ent_agg_idx),
+        ent_con_id=i(cp.ent_con_id),
+        ent_val_one=f(cp.ent_val_one),
+        ent_val_two=f(cp.ent_val_two),
+        ell_cols=i(cp.ell_cols),
+        ell_tri=i(cp.ell_tri),
+        tail_rows=i(cp.tail_rows),
+        tail_cols=i(cp.tail_cols),
+        tail_tri=i(cp.tail_tri),
+        b=f(cp.b),
+        lam_ub=f(cp.lam_ub),
+        vio_lb=f(cp.vio_lb),
+        lowrank=lr,
+        n=cp.n,
+        m=cp.m,
+        n_pad=cp.n_pad,
+        P_pad=cp.P_pad,
+        ell_width=cp.ell_width,
+        has_tail=cp.tail_rows.shape[0] > 0,
+        has_inequalities=cp.has_inequalities,
+        normC=float(cp.normC),
+        normb=float(cp.normb),
+    )

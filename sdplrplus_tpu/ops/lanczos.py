@@ -1,0 +1,164 @@
+"""Jitted Lanczos min-eigenvalue estimation for the dual bound.
+
+TPU-native re-design of the reference's randomized Lanczos
+(reference: src/coreop.jl:461-514) and its high-precision GenericArpack
+alternative (src/coreop.jl:351-374). The 3-term recurrence runs as a
+device-side lax.fori_loop whose matvec is the adjoint SpMM with r = 1;
+only the tiny (q,) α/β arrays come back to the host, where the
+tridiagonal eigenproblem is solved directly (scipy eigh_tridiagonal).
+
+The high-precision path replaces Arpack with Lanczos + full
+reorthogonalization (per SURVEY §7 step 5), which for λ_min of these
+well-conditioned shifted S matrices reaches the same 1e-6 tolerances.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .adjoint import apply_S
+from .device import DeviceProblem
+
+
+def _row_mask(dp: DeviceProblem, dtype):
+    idx = lax.broadcasted_iota(jnp.int32, (dp.n_pad, 1), 0)
+    return (idx < dp.n).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_max",))
+def lanczos_alpha_beta(
+    dp: DeviceProblem, s_tri, y_full, key, q, *, q_max: int
+):
+    """Run min(q, q_max) Lanczos iterations on S; returns (alpha, beta, k_eff).
+
+    alpha/beta are (q_max,) with valid prefix of length k_eff; β breakdown
+    (|β| < √n·eps, reference: src/coreop.jl:494) stops the recurrence.
+    """
+    dtype = s_tri.dtype
+    mask = _row_mask(dp, dtype)
+    v = jax.random.normal(key, (dp.n_pad, 1), dtype=dtype) * mask
+    v = v / jnp.linalg.norm(v)
+
+    breakdown_tol = jnp.sqrt(jnp.asarray(dp.n, dtype)) * jnp.finfo(dtype).eps
+
+    def body(i, carry):
+        v, v_prev, beta_prev, alpha, beta, done, k_eff = carry
+        Av = apply_S(dp, s_tri, y_full, v)
+        a_i = jnp.vdot(v, Av)
+        Av = Av - a_i * v - beta_prev * v_prev
+        b_i = jnp.linalg.norm(Av)
+        active = jnp.logical_and(jnp.logical_not(done), i < q)
+        alpha = jnp.where(active, alpha.at[i].set(a_i), alpha)
+        beta = jnp.where(active, beta.at[i].set(b_i), beta)
+        k_eff = jnp.where(active, i + 1, k_eff)
+        brk = b_i < breakdown_tol
+        done = jnp.logical_or(done, jnp.logical_or(brk, jnp.logical_not(active)))
+        v_new = jnp.where(done, v, Av / jnp.maximum(b_i, jnp.finfo(dtype).tiny))
+        v_prev_new = jnp.where(done, v_prev, v)
+        beta_prev_new = jnp.where(done, beta_prev, b_i)
+        return v_new, v_prev_new, beta_prev_new, alpha, beta, done, k_eff
+
+    alpha0 = jnp.zeros((q_max,), dtype=dtype)
+    beta0 = jnp.zeros((q_max,), dtype=dtype)
+    init = (
+        v,
+        jnp.zeros_like(v),
+        jnp.zeros((), dtype=dtype),
+        alpha0,
+        beta0,
+        jnp.zeros((), bool),
+        jnp.zeros((), jnp.int32),
+    )
+    _, _, _, alpha, beta, _, k_eff = lax.fori_loop(0, q_max, body, init)
+    return alpha, beta, k_eff
+
+
+@functools.partial(jax.jit, static_argnames=("q_max",))
+def lanczos_alpha_beta_reorth(
+    dp: DeviceProblem, s_tri, y_full, key, *, q_max: int
+):
+    """Lanczos with full reorthogonalization (high-precision path)."""
+    dtype = s_tri.dtype
+    mask = _row_mask(dp, dtype)
+    v = jax.random.normal(key, (dp.n_pad, 1), dtype=dtype) * mask
+    v = v / jnp.linalg.norm(v)
+
+    V0 = jnp.zeros((q_max, dp.n_pad), dtype=dtype)
+
+    def body(i, carry):
+        v, v_prev, beta_prev, alpha, beta, V, done, k_eff = carry
+        V = jnp.where(done, V, V.at[i].set(v[:, 0]))
+        Av = apply_S(dp, s_tri, y_full, v)
+        a_i = jnp.vdot(v, Av)
+        Av = Av - a_i * v - beta_prev * v_prev
+        # full reorthogonalization against all previous vectors (twice)
+        for _ in range(2):
+            coeffs = V @ Av  # (q_max, 1)
+            Av = Av - V.T @ coeffs
+        b_i = jnp.linalg.norm(Av)
+        active = jnp.logical_not(done)
+        alpha = jnp.where(active, alpha.at[i].set(a_i), alpha)
+        beta = jnp.where(active, beta.at[i].set(b_i), beta)
+        k_eff = jnp.where(active, i + 1, k_eff)
+        brk = b_i < jnp.sqrt(jnp.asarray(dp.n, dtype)) * jnp.finfo(dtype).eps
+        done = jnp.logical_or(done, brk)
+        v_new = jnp.where(done, v, Av / jnp.maximum(b_i, jnp.finfo(dtype).tiny))
+        v_prev_new = jnp.where(done, v_prev, v)
+        beta_prev_new = jnp.where(done, beta_prev, b_i)
+        return v_new, v_prev_new, beta_prev_new, alpha, beta, V, done, k_eff
+
+    init = (
+        v,
+        jnp.zeros_like(v),
+        jnp.zeros((), dtype=dtype),
+        jnp.zeros((q_max,), dtype=dtype),
+        jnp.zeros((q_max,), dtype=dtype),
+        V0,
+        jnp.zeros((), bool),
+        jnp.zeros((), jnp.int32),
+    )
+    out = lax.fori_loop(0, q_max, body, init)
+    _, _, _, alpha, beta, _, _, k_eff = out
+    return alpha, beta, k_eff
+
+
+def tridiag_min_eig(alpha: np.ndarray, beta: np.ndarray, k_eff: int) -> float:
+    """Smallest eigenvalue of the k_eff×k_eff symmetric tridiagonal matrix
+    (host-side; equivalent of the reference's symeigs(:SA) on the
+    SymTridiagonal, src/coreop.jl:503-511)."""
+    k = int(k_eff)
+    if k <= 0:
+        return 0.0
+    a = np.asarray(alpha[:k], dtype=np.float64)
+    if k == 1:
+        return float(a[0])
+    b = np.asarray(beta[: k - 1], dtype=np.float64)
+    try:
+        from scipy.linalg import eigh_tridiagonal
+
+        w = eigh_tridiagonal(a, b, select="i", select_range=(0, 0))[0]
+        return float(w[0])
+    except Exception:
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        return float(np.linalg.eigvalsh(T)[0])
+
+
+def lanczos_q(iter_count: int, n: int) -> int:
+    """Iteration budget q = 2·⌈max(iter,100)^0.5 · log n⌉, capped at n-1
+    (reference: src/coreop.jl:402,465)."""
+    q = int(2 * np.ceil(np.sqrt(max(iter_count, 100)) * np.log(max(n, 2))))
+    return max(min(q, n - 1), 1)
+
+
+def bucket_q_max(q: int, base: int = 64) -> int:
+    """Round q up to a power-of-two multiple of ``base`` to bound the number
+    of jit specializations as q grows with the iteration count."""
+    q_max = base
+    while q_max < q:
+        q_max *= 2
+    return q_max

@@ -1,0 +1,95 @@
+"""Dual (suboptimality) bound and DIMACS error report.
+
+TPU-native re-design of the reference's SDPLR+ novelty: the Lanczos-based
+suboptimality bound for trace-bounded SDPs (reference:
+src/coreop.jl:376-415) and the six DIMACS error metrics
+(src/coreop.jl:417-453).
+
+    dual_value = -⟨y[0:m], b⟩ + trace_bound · min(λ_min(S), 0)
+
+with y = [-min(λ_ub, λ - σv); 1] and S = Σ yᵢAᵢ + C.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.adjoint import apply_S, assemble_s_tri, gradient
+from ..ops.device import DeviceProblem
+from ..ops.lanczos import (
+    bucket_q_max,
+    lanczos_alpha_beta,
+    lanczos_alpha_beta_reorth,
+    lanczos_q,
+    tridiag_min_eig,
+)
+
+
+@jax.jit
+def _y_and_s(dp: DeviceProblem, lam, sigma, vio_raw):
+    m = dp.m
+    y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
+    y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=lam.dtype)])
+    return y_full, assemble_s_tri(dp, y_full)
+
+
+def dual_obj(
+    dp: DeviceProblem,
+    lam,
+    sigma,
+    vio_raw,
+    trace_bound: float,
+    iter_count: int,
+    key,
+    highprecision: bool = False,
+):
+    """Returns (dual_value, min_eig, y_full) (reference: src/coreop.jl:376-415)."""
+    y_full, s_tri = _y_and_s(dp, lam, sigma, vio_raw)
+
+    if highprecision:
+        q_max = bucket_q_max(min(max(100, 2 * lanczos_q(iter_count, dp.n)), dp.n))
+        alpha, beta, k_eff = lanczos_alpha_beta_reorth(
+            dp, s_tri, y_full, key, q_max=q_max
+        )
+    else:
+        q = lanczos_q(iter_count, dp.n)
+        q_max = bucket_q_max(q)
+        alpha, beta, k_eff = lanczos_alpha_beta(
+            dp, s_tri, y_full, key, jnp.asarray(q, jnp.int32), q_max=q_max
+        )
+
+    min_eig = tridiag_min_eig(
+        np.asarray(alpha), np.asarray(beta), int(k_eff)
+    )
+    yb = float(jnp.dot(y_full[: dp.m], dp.b))
+    dual_value = -yb + float(trace_bound) * min(min_eig, 0.0)
+    return dual_value, min_eig, y_full
+
+
+def dimacs_errors(dp: DeviceProblem, R, lam, vio_raw, obj, key) -> np.ndarray:
+    """Six standard DIMACS error metrics (reference: src/coreop.jl:417-453).
+
+    err2 = err3 = 0 by construction (X = RRᵀ ⪰ 0, Z = C - 𝒜ᵀλ).
+    """
+    m = dp.m
+    normb = float(jnp.linalg.norm(dp.b))
+    err1 = float(jnp.linalg.norm(vio_raw[:m])) / (1.0 + normb)
+
+    # S with y = [-λ; 1] (reference: copy2y_λ!, src/coreop.jl:238-246)
+    y_full = jnp.concatenate([-lam, jnp.ones((1,), dtype=lam.dtype)])
+    s_tri = assemble_s_tri(dp, y_full)
+    q_max = bucket_q_max(min(100, dp.n))
+    alpha, beta, k_eff = lanczos_alpha_beta_reorth(
+        dp, s_tri, y_full, key, q_max=q_max
+    )
+    min_eig = tridiag_min_eig(np.asarray(alpha), np.asarray(beta), int(k_eff))
+
+    err4 = max(0.0, -min_eig) / (1.0 + dp.normC)
+    bty = float(jnp.dot(lam, dp.b))
+    obj = float(obj)
+    err5 = (obj - bty) / (1.0 + abs(obj) + abs(bty))
+    SR = apply_S(dp, s_tri, y_full, R)
+    err6 = float(jnp.vdot(R, SR)) / (1.0 + abs(obj) + abs(bty))
+    return np.array([err1, 0.0, 0.0, err4, err5, err6])

@@ -1,0 +1,342 @@
+"""Outer augmented-Lagrangian driver and the public ``sdplr`` entry point.
+
+TPU-native re-design of the reference's solver driver
+(reference: src/sdplr.jl:91-449). The division of labor is the one SURVEY
+§7 prescribes: the host holds (R, λ, σ, r, tolerances, timers) and drives
+major iterations; each major iteration's inner L-BFGS loop runs as a
+single compiled lax.while_loop on device (solver/inner.py), synced to the
+host only once per ``config.inner_chunk`` steps for wall-clock checks and
+progress printing. Rank doubling re-specializes the compiled programs for
+the new (n, r) — bounded by log₂ of the Barvinok–Pataki rank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compile import CompiledProblem, compile_problem
+from ..config import SolverConfig, resolve_dtype
+from ..ops.device import DeviceProblem, to_device
+from ..problem import SDPProblem
+from ..utils.printing import print_heading, print_intermediate
+from .al import al_value_grad
+from .dualbound import dimacs_errors, dual_obj
+from .inner import inner_chunk
+from .lbfgs import lbfgs_clear, lbfgs_init
+from .rank import next_rank
+
+_EPS64 = float(np.finfo(np.float64).eps)
+
+_fg = jax.jit(
+    al_value_grad, static_argnames=("gtol_relative", "ptol_relative")
+)
+
+
+@jax.jit
+def _dual_ascent(dp: DeviceProblem, lam, sigma, vio_raw):
+    """λᵢ ← min(λ_ub, λᵢ - σ vᵢ) (reference: src/sdplr.jl:358-361)."""
+    return jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[: dp.m])
+
+
+def _init_vars(prob: SDPProblem, cp: CompiledProblem, r: int,
+               config: SolverConfig, dtype, rng: np.random.Generator):
+    """Fresh (R0 padded, λ0) — random uniform(-1, 1) like the reference
+    (src/structs.jl:237) or via a user init_func (src/structs.jl:231-234).
+
+    init_func(problem, r, *init_args) must return (R0 [n, r], lam0 [m]);
+    note the factor is n×r here (the reference passes/returns the r×n
+    transpose — on TPU the n axis is the sharded leading axis)."""
+    n, m = cp.n, cp.m
+    if config.init_func is not None:
+        R0, lam0 = config.init_func(prob, r, *config.init_args)
+        R0 = np.asarray(R0, dtype=np.float64)
+        if R0.shape == (r, n):
+            R0 = R0.T
+        if R0.shape != (n, r):
+            raise ValueError(f"init_func returned R0 of shape {R0.shape}, want ({n},{r})")
+        lam0 = np.minimum(np.asarray(lam0, dtype=np.float64).reshape(-1), cp.lam_ub)
+    else:
+        R0 = rng.uniform(-1.0, 1.0, size=(n, r))
+        lam0 = np.zeros(m)
+    Rp = np.zeros((cp.n_pad, r))
+    Rp[:n] = R0
+    return jnp.asarray(Rp, dtype=dtype), jnp.asarray(lam0, dtype=dtype)
+
+
+def _stagnation_tol(config: SolverConfig, dtype) -> float:
+    """fprec·eps threshold (reference: src/sdplr.jl:239 uses Float64 eps).
+
+    In float32 the f64-scaled threshold sits below the rounding noise
+    floor; it is floored at a few f32 ulps so the inner loop cannot spin
+    at the noise floor (unless fprec == 0, which disables the test)."""
+    tol = config.fprec * _EPS64
+    if config.fprec > 0 and jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        tol = max(tol, 4.0 * float(np.finfo(np.float32).eps))
+    return tol
+
+
+def sdplr(C, As, b, r: int, *, constraint_types=None,
+          config: Optional[SolverConfig] = None, **kwargs) -> dict:
+    """Solve min ⟨C,X⟩ s.t. ⟨Aᵢ,X⟩ =/≤ bᵢ, X ⪰ 0 via X = RRᵀ.
+
+    The public entry point, mirroring the reference's only export
+    (reference: src/sdplr.jl:91-138). Unknown keyword arguments raise,
+    like the reference's kwarg→config merge (src/sdplr.jl:102-108).
+    """
+    cfg = (config or SolverConfig()).copy_with(**kwargs)
+    prob = SDPProblem(C, list(As), np.asarray(b, dtype=np.float64), constraint_types)
+    return solve(prob, r, cfg)
+
+
+def solve(prob: SDPProblem, r: int, config: SolverConfig,
+          mesh=None) -> dict:
+    if config.printlevel > 0:
+        print_heading(True)
+
+    t_pre = time.time()
+    dtype = resolve_dtype(config)
+    cp = compile_problem(prob)
+    dp = to_device(cp, dtype)
+    preprocess_time = time.time() - t_pre
+
+    result = _solve(prob, cp, dp, r, config, dtype)
+    result["preprocess_time"] = preprocess_time
+    result["totaltime"] += preprocess_time
+
+    if config.printlevel > 0:
+        print_heading(False)
+    return result
+
+
+def _solve(prob: SDPProblem, cp: CompiledProblem, dp: DeviceProblem,
+           r: int, config: SolverConfig, dtype) -> dict:
+    n, m = cp.n, cp.m
+    rng = np.random.default_rng(config.seed)
+    key = jax.random.PRNGKey(config.seed)
+
+    starttime = time.time()
+    lastprint = starttime
+
+    R, lam = _init_vars(prob, cp, r, config, dtype, rng)
+    R0_np, lam0_np = np.asarray(R[:n]), np.asarray(lam)
+    sigma = float(config.sigma0)
+
+    k = int(config.numlbfgsvecs)
+    use_armijo = dp.has_inequalities
+    gtol_rel = config.gtol_mode == "relative"
+    ptol_rel = config.ptol_mode == "relative"
+    stag_tol = _stagnation_tol(config, dtype)
+
+    lbfgs = lbfgs_init(k, cp.n_pad, r, dtype)
+
+    cur_gtol = max(1.0 / sigma, config.gtol)
+    cur_ptol = max(1.0 / sigma**0.1, config.ptol)
+
+    L_val, vio_raw, G, y_full, gnorm_d, pnorm_d = _fg(
+        dp, R, lam, sigma, gtol_relative=gtol_rel, ptol_relative=ptol_rel
+    )
+    grad_norm, vio_norm = float(gnorm_d), float(pnorm_d)
+
+    total_iter = 0
+    majoriter = 0
+    dual_time = 0.0
+
+    duality_gap = 1e20
+    min_duality_gap = 1e20
+    max_dual_value = -1e20
+    best_lam = np.asarray(lam)
+    rankupd_cnt = config.rankupd_tol
+
+    def maybe_print(localiter, force=False):
+        nonlocal lastprint
+        now = time.time()
+        if force or now - lastprint >= config.printfreq:
+            lastprint = now
+            if config.printlevel > 0:
+                print_intermediate(
+                    config.dataset, majoriter, localiter, total_iter,
+                    float(L_val), float(vio_raw[m]), sigma, cur_gtol, cur_ptol,
+                    grad_norm, vio_norm, min_duality_gap, max_dual_value,
+                )
+
+    timed_out = False
+    for _ in range(config.maxmajoriter):
+        majoriter += 1
+        localiter = 0
+
+        # ---- inner loop, chunked on device (reference: src/sdplr.jl:190-278)
+        while grad_norm > cur_gtol:
+            steps = min(config.inner_chunk, config.maxiter - total_iter + 1)
+            if steps <= 0:
+                break
+            carry, pnorm_d = inner_chunk(
+                dp, R, G, y_full, vio_raw, L_val, jnp.asarray(grad_norm, dtype),
+                lbfgs, lam, sigma, cur_gtol, stag_tol, steps,
+                k=k, use_armijo=use_armijo,
+                gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+            )
+            R, G, y_full, vio_raw, L_val = (
+                carry.R, carry.G, carry.y_full, carry.vio_raw, carry.L_val
+            )
+            lbfgs = carry.lbfgs
+            nsteps = int(carry.steps)
+            localiter += nsteps
+            total_iter += nsteps
+            grad_norm = float(carry.grad_norm)
+            vio_norm = float(pnorm_d)
+            maybe_print(localiter)
+            if bool(carry.stagnated):
+                break
+            if time.time() - starttime > config.maxtime or total_iter > config.maxiter:
+                break
+
+        maybe_print(localiter, force=True)
+
+        if time.time() - starttime > config.maxtime:
+            print("Warning: time limit exceeded. Stop optimizing.")
+            timed_out = True
+            break
+        if total_iter > config.maxiter:
+            print("Warning: iteration limit exceeded. Stop optimizing.")
+            break
+
+        rank_double = False
+        converged = False
+
+        if vio_norm <= cur_ptol:
+            # ---- dual bound (reference: src/sdplr.jl:310-357)
+            t_dual = time.time()
+            key, sub = jax.random.split(key)
+            dual_value, _, y_dual = dual_obj(
+                dp, lam, sigma, vio_raw, config.prior_trace_bound,
+                max(total_iter, 1), sub,
+                highprecision=config.eigval_highprecision,
+            )
+            dual_time += time.time() - t_dual
+
+            if dual_value > max_dual_value:
+                best_lam = -np.asarray(y_dual[:m])
+                max_dual_value = dual_value
+            obj = float(vio_raw[m])
+            if config.objtol_mode == "relative":
+                denom = min(abs(obj), abs(max_dual_value))
+                duality_gap = (obj - max_dual_value) / denom if denom > 0 else np.inf
+            else:
+                duality_gap = obj - max_dual_value
+
+            if vio_norm <= config.ptol:
+                if config.objtol == np.inf:
+                    converged = True
+                elif duality_gap <= config.objtol:
+                    min_duality_gap = min(min_duality_gap, duality_gap)
+                    converged = True
+                else:
+                    if min_duality_gap - duality_gap < config.objtol:
+                        rankupd_cnt -= 1
+                    else:
+                        rankupd_cnt = config.rankupd_tol
+                    min_duality_gap = min(min_duality_gap, duality_gap)
+                    if rankupd_cnt == 0:
+                        rank_double = True
+            if converged:
+                break
+
+            lam = _dual_ascent(dp, lam, sigma, vio_raw)
+            cur_ptol = cur_ptol / sigma**0.9
+            cur_gtol = cur_gtol / sigma
+        else:
+            # ---- infeasible: tighten penalty (reference: src/sdplr.jl:365-370)
+            sigma *= config.sigmafac
+            cur_ptol = 1.0 / sigma**0.1
+            cur_gtol = 1.0 / sigma
+
+        # ---- rank doubling (reference: src/sdplr.jl:372-386)
+        if rank_double:
+            r = next_rank(r, n, m)
+            R, lam = _init_vars(prob, cp, r, config, dtype, rng)
+            sigma = float(config.sigma0)
+            cur_ptol = 1.0 / sigma**0.1
+            cur_gtol = 1.0 / sigma
+            lbfgs = lbfgs_init(k, cp.n_pad, r, dtype)
+            min_duality_gap = 1e20
+            max_dual_value = -1e20
+            rankupd_cnt = config.rankupd_tol
+            if config.printlevel > 0:
+                print(f"rank doubled, new rank is {r}.")
+        else:
+            lbfgs = lbfgs_clear(lbfgs)
+
+        cur_ptol = max(cur_ptol, config.ptol)
+        cur_gtol = max(cur_gtol, config.gtol)
+
+        # re-sync state for the next major iteration (src/sdplr.jl:389)
+        L_val, vio_raw, G, y_full, gnorm_d, pnorm_d = _fg(
+            dp, R, lam, sigma, gtol_relative=gtol_rel, ptol_relative=ptol_rel
+        )
+        grad_norm, vio_norm = float(gnorm_d), float(pnorm_d)
+
+        if majoriter == config.maxmajoriter:
+            print("Warning: major iteration limit exceeded. Stop optimizing.")
+
+    # final re-sync + report (reference: src/sdplr.jl:396-425)
+    L_val, vio_raw, G, y_full, gnorm_d, pnorm_d = _fg(
+        dp, R, lam, sigma, gtol_relative=gtol_rel, ptol_relative=ptol_rel
+    )
+    grad_norm, vio_norm = float(gnorm_d), float(pnorm_d)
+    maybe_print(-1, force=True)
+
+    endtime = time.time()
+    totaltime = endtime - starttime
+    primal_time = totaltime - dual_time
+
+    t_dimacs = time.time()
+    if config.eval_DIMACS_errs:
+        key, sub = jax.random.split(key)
+        DIMACS_errs = dimacs_errors(dp, R, lam, vio_raw, vio_raw[m], sub)
+    else:
+        DIMACS_errs = np.zeros(6)
+    dimacs_time = time.time() - t_dimacs
+
+    obj = float(vio_raw[m])
+    rel_gap = min_duality_gap
+
+    R_np = np.asarray(R[:n], dtype=np.float64)
+    # one stable result schema (fixes the reference's exps/solver drift,
+    # SURVEY §3.4): both the solver-native and the exps-harness key names.
+    return {
+        "R": R_np,
+        "Rt": R_np.T,
+        "lambda": best_lam,
+        "R0": R0_np,
+        "Rt0": R0_np.T,
+        "lambda0": lam0_np,
+        "sigma": sigma,
+        "grad_norm": grad_norm,
+        "primal_vio": vio_norm,
+        "obj": obj,
+        "max_dual_value": max_dual_value,
+        "min_duality_gap": min_duality_gap,
+        "rel_duality_gap": rel_gap,
+        "duality_gap": duality_gap,
+        "totaltime": totaltime,
+        "dual_time": dual_time,
+        "dual_lanczos_time": dual_time,
+        "primaltime": primal_time,
+        "DIMACS_time": dimacs_time,
+        "iter": total_iter,
+        "majoriter": majoriter,
+        "DIMACS_errs": np.asarray(DIMACS_errs),
+        "ptol": config.ptol,
+        "objtol": config.objtol,
+        "fprec": config.fprec,
+        "rankupd_tol": config.rankupd_tol,
+        "r": r,
+        "timed_out": timed_out,
+        "dtype": str(jnp.dtype(dtype)),
+    }
