@@ -1,0 +1,126 @@
+"""Experiment CLI: mirror of the reference's benchmark driver
+(reference: exps/test.jl:1-210).
+
+    python exps/run.py --graph G1 --problem MaxCut --ptol 1e-2 --objtol 1e-2
+
+Protocol (reference: exps/test.jl:176-210): load the .mat adjacency, run
+one warmup solve (tol = 1.0, compiles all jitted programs), then the
+timed solve; apply the problem's rounding callback; dump one JSON result
+per (problem, graph) under exps/output/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="SDPLRPlus-TPU benchmark driver")
+    p.add_argument("--graph", type=str, default="G1")
+    p.add_argument("--ptol", type=float, default=1e-2)
+    p.add_argument("--objtol", type=float, default=1e-2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rank", type=int, default=10)
+    p.add_argument(
+        "--problem",
+        type=str,
+        default="MaxCut",
+        choices=["MaxCut", "MinimumBisection", "LovaszTheta", "CutNorm"],
+    )
+    p.add_argument("--dtype", type=str, default=None,
+                   help="float32 (TPU default) or float64")
+    p.add_argument("--maxtime", type=float, default=36000.0)
+    p.add_argument("--data-root", type=str,
+                   default="/root/reference/exps/data")
+    p.add_argument("--output", type=str,
+                   default=os.path.join(os.path.dirname(__file__), "output"))
+    p.add_argument("--skip-warmup", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from sdplrplus_tpu import sdplr
+    from sdplrplus_tpu.models import (
+        cutnorm,
+        lovasz_theta,
+        maxcut,
+        minimum_bisection,
+    )
+    from sdplrplus_tpu.utils.io import gset_path, load_mat_adjacency
+    from sdplrplus_tpu.utils.rounding import (
+        dummy_callback,
+        maxcut_rounding,
+        minimum_bisection_rounding,
+    )
+
+    builders = {
+        "MaxCut": (maxcut, maxcut_rounding, lambda n: float(n)),
+        "MinimumBisection": (
+            minimum_bisection,
+            minimum_bisection_rounding,
+            lambda n: float(n),
+        ),
+        "LovaszTheta": (lovasz_theta, dummy_callback, lambda n: 1.0),
+        "CutNorm": (cutnorm, dummy_callback, lambda n: float(n)),
+    }
+    builder, callback, tb = builders[args.problem]
+
+    def batch_eval(graph, filename, ptol, objtol):
+        A = load_mat_adjacency(
+            gset_path(graph, problem=args.problem, root=args.data_root)
+        )
+        n = A.shape[0]
+        out = builder(A)
+        C, As, b = out[:3]
+        ct = out[3] if len(out) == 4 else None
+        res = sdplr(
+            C, As, b, args.rank,
+            constraint_types=ct,
+            prior_trace_bound=tb(n),
+            dataset=graph,
+            seed=args.seed,
+            ptol=ptol,
+            objtol=objtol,
+            maxtime=args.maxtime,
+            dtype=args.dtype,
+        )
+        res["callback_res"] = callback(A, res["R"])
+        short_keys = [
+            "grad_norm", "primal_vio", "obj", "rel_duality_gap",
+            "min_duality_gap", "totaltime", "dual_lanczos_time",
+            "primaltime", "preprocess_time", "iter", "majoriter",
+            "ptol", "objtol", "fprec", "callback_res", "rankupd_tol",
+            "r", "dtype",
+        ]
+        short = {k: res[k] for k in short_keys}
+        outdir = os.path.join(args.output, args.problem, graph)
+        os.makedirs(outdir, exist_ok=True)
+        path = os.path.join(outdir, filename + ".json")
+        with open(path, "w") as f:
+            json.dump(short, f, indent=4, default=float)
+        print(f"[{args.problem}/{graph}] obj={res['obj']:.6f} "
+              f"pinfeas={res['primal_vio']:.2e} gap={res['min_duality_gap']:.2e} "
+              f"time={res['totaltime']:.2f}s iters={res['iter']} -> {path}")
+        return res
+
+    if not args.skip_warmup:
+        batch_eval(args.graph, "SDPLRTPU-warmup", 1.0, 1.0)
+    batch_eval(
+        args.graph,
+        f"SDPLRTPU-R-{args.rank}-seed-{args.seed}-tol-{args.ptol}",
+        args.ptol,
+        args.objtol,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -184,9 +184,29 @@ def mu_conductance_ineq(A: sp.spmatrix, mu: float):
 
 
 def relaxed_maxcut(A: sp.spmatrix):
-    """Relaxed MaxCut: min -¼⟨L, X⟩ s.t. Diag(X) ≤ 1 (inequalities)
-    (reference: exps/problems.jl:188-216). Returns
-    (C, As, b, constraint_types)."""
+    """Relaxed MaxCut: min -¼⟨L, X⟩ s.t. 0.99 ≤ Diag(X) ≤ 1 via the 3n
+    slack lift, equality-only (reference: exps/problems.jl:188-216)."""
+    A = sp.csr_matrix(A)
+    _check_symmetric(A)
+    n = A.shape[0]
+    L = (-0.25) * _laplacian(A)
+    N = 3 * n
+    ri, ci, vi = _coo(L)
+    C = SparseSym(ri, ci, vi, N)
+    As = []
+    b = []
+    for i in range(n):
+        As.append(sparse_coo([i, i + n], [i, i + n], [1.0, 1.0], N))
+        b.append(1.0)
+    for i in range(n):
+        As.append(sparse_coo([i, i + 2 * n], [i, i + 2 * n], [1.0, -1.0], N))
+        b.append(0.99)
+    return C, As, np.array(b)
+
+
+def relaxed_maxcut_ineq(A: sp.spmatrix):
+    """Relaxed MaxCut with native inequalities: min -¼⟨L, X⟩ s.t.
+    Diag(X) ≤ 1 (n×n, no lift). Returns (C, As, b, constraint_types)."""
     A = sp.csr_matrix(A)
     _check_symmetric(A)
     n = A.shape[0]
@@ -196,6 +216,86 @@ def relaxed_maxcut(A: sp.spmatrix):
     b = np.ones(n)
     ct = np.ones(n, dtype=bool)
     return C, As, b, ct
+
+
+def mu_conductance_reformulated(A: sp.spmatrix, mu: float):
+    """μ-conductance SDP, reformulated slack coupling on the 3n lift
+    (reference: exps/problems.jl:233-279)."""
+    A = sp.csr_matrix(A)
+    _check_symmetric(A)
+    n = A.shape[0]
+    d = np.asarray(A.sum(axis=1)).reshape(-1)
+    volG = float(d.sum())
+    L = _laplacian(A)
+    N = 3 * n
+
+    As = []
+    b = []
+
+    idx = np.arange(n)
+    As.append(sparse_coo(idx, idx, d, N))
+    b.append(1.0)
+
+    padded_d = np.concatenate([d, np.zeros(2 * n)]).reshape(-1, 1)
+    As.append(SymLowRank(padded_d, np.array([1.0])))
+    b.append(0.0)
+
+    ub = mu_conductance_ub(volG, mu)
+    lb = mu_conductance_lb(volG, mu)
+
+    for i in range(n):
+        As.append(sparse_coo([i, i + n], [i, i + n], [1.0, 1.0], N))
+        b.append(ub)
+    for i in range(n):
+        As.append(
+            sparse_coo([i + n, i + 2 * n], [i + n, i + 2 * n], [1.0, 1.0], N)
+        )
+        b.append(ub - lb)
+
+    ri, ci, vi = _coo(L)
+    C = SparseSym(ri, ci, vi, N)
+    return C, As, np.array(b)
+
+
+def mu_conductance_native(A: sp.spmatrix, mu: float):
+    """μ-conductance SDP, native-inequality n×n formulation with
+    D-norm scaling (reference: exps/problems.jl:295-341). Returns
+    (C, As, b, constraint_types)."""
+    A = sp.csr_matrix(A)
+    _check_symmetric(A)
+    n = A.shape[0]
+    d = np.asarray(A.sum(axis=1)).reshape(-1)
+    volG = float(d.sum())
+    L = _laplacian(A)
+    ub = mu_conductance_ub(volG, mu)
+    lb = mu_conductance_lb(volG, mu)
+    D_norm = float(np.linalg.norm(d))  # Frobenius norm of Diagonal(d)
+    dd_norm = float(np.linalg.norm(d) ** 2)
+
+    As = []
+    b = []
+    ct = []
+
+    idx = np.arange(n)
+    As.append(sparse_coo(idx, idx, d, n))
+    b.append(1.0)
+    ct.append(False)
+
+    As.append(SymLowRank(d.reshape(-1, 1), np.array([D_norm / dd_norm])))
+    b.append(0.0)
+    ct.append(False)
+
+    for i in range(n):
+        As.append(sparse_coo([i], [i], [D_norm], n))
+        b.append(ub * D_norm)
+        ct.append(True)
+    for i in range(n):
+        As.append(sparse_coo([i], [i], [-D_norm], n))
+        b.append(-lb * D_norm)
+        ct.append(True)
+
+    C = SparseSym(*_coo(L), n)
+    return C, As, np.array(b), np.array(ct, dtype=bool)
 
 
 def _coo(M: sp.spmatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -1,0 +1,106 @@
+"""Multi-chip SPMD execution over a jax.sharding.Mesh.
+
+The reference has **no distributed machinery** (SURVEY §2/§5: a
+single-process, single-threaded CPU solver); the TPU-native scaling plan
+is the one SURVEY §5 derives from the math:
+
+  * shard the n axis of the factor R and of the ELL rows of S,
+  * shard the nnz axis of the aggregate pattern / constraint entries,
+  * the only cross-device reductions are the ones visible in the math —
+    constraint values 𝒜(RRᵀ) (partial segment-sums → psum over nnz
+    shards), scalar dots/norms in L-BFGS + line search (psum), and
+    Lanczos inner products (psum); the adjoint SpMM needs the column
+    support of R (all-gather of the row-sharded factor).
+
+Round-1 implementation: GSPMD. The problem's index arrays are placed
+with NamedShardings along a 1-D mesh axis and the exact same jitted
+kernels (ops/, solver/inner.py) run SPMD — XLA inserts the psums /
+all-gathers listed above. Padding in compile.py is a multiple of 128,
+so any device count that divides 128 works without re-padding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compile import CompiledProblem
+from ..ops.device import DeviceLowRank, DeviceProblem, to_device
+
+AXIS = "x"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
+    """Place a compiled problem on the mesh with the SURVEY §5 layout."""
+    nd = int(np.prod(mesh.devices.shape))
+    for dim, name in [
+        (cp.n_pad, "n_pad"),
+        (cp.P_pad, "P_pad"),
+        (cp.ent_agg_idx.shape[0], "E_pad"),
+    ]:
+        if dim % nd != 0:
+            raise ValueError(
+                f"{name}={dim} not divisible by {nd} devices; recompile the "
+                f"problem with row_pad/nnz_pad a multiple of {nd}."
+            )
+
+    dp = to_device(cp, dtype)
+    s_nnz = NamedSharding(mesh, P(AXIS))          # nnz-axis sharded
+    s_row = NamedSharding(mesh, P(AXIS, None))    # row-blocked 2-D
+    s_rep = NamedSharding(mesh, P())              # replicated
+
+    def put(x, sh):
+        return jax.device_put(x, sh)
+
+    lr = tuple(
+        DeviceLowRank(B=put(t.B, s_row), d=put(t.d, s_rep), gid=t.gid)
+        for t in dp.lowrank
+    )
+    tail_sh = s_nnz if dp.tail_rows.shape[0] % nd == 0 and dp.tail_rows.shape[0] > 0 else s_rep
+    return DeviceProblem(
+        agg_rows=put(dp.agg_rows, s_nnz),
+        agg_cols=put(dp.agg_cols, s_nnz),
+        ent_agg_idx=put(dp.ent_agg_idx, s_nnz),
+        ent_con_id=put(dp.ent_con_id, s_nnz),
+        ent_val_one=put(dp.ent_val_one, s_nnz),
+        ent_val_two=put(dp.ent_val_two, s_nnz),
+        ell_cols=put(dp.ell_cols, s_row),
+        ell_tri=put(dp.ell_tri, s_row),
+        tail_rows=put(dp.tail_rows, tail_sh),
+        tail_cols=put(dp.tail_cols, tail_sh),
+        tail_tri=put(dp.tail_tri, tail_sh),
+        b=put(dp.b, s_rep),
+        lam_ub=put(dp.lam_ub, s_rep),
+        vio_lb=put(dp.vio_lb, s_rep),
+        lowrank=lr,
+        n=dp.n,
+        m=dp.m,
+        n_pad=dp.n_pad,
+        P_pad=dp.P_pad,
+        ell_width=dp.ell_width,
+        has_tail=dp.has_tail,
+        has_inequalities=dp.has_inequalities,
+        normC=dp.normC,
+        normb=dp.normb,
+    )
+
+
+def shard_factor(R, mesh: Mesh):
+    """Row-shard the factor R (n axis across the mesh)."""
+    return jax.device_put(R, NamedSharding(mesh, P(AXIS, None)))
+
+
+def replicate(x, mesh: Mesh):
+    return jax.device_put(x, NamedSharding(mesh, P()))

@@ -8,7 +8,9 @@ need double precision. TPU runs use f32 (see bench.py).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session environment presets JAX_PLATFORMS to the TPU
+# plugin, but unit tests must run on the host (8 virtual devices, f64).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# Belt and braces: if a pytest plugin imported jax before this conftest,
+# the env var above is too late — set the config directly (effective any
+# time before backend initialization).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

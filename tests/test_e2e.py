@@ -1,0 +1,127 @@
+"""End-to-end solver tests on tiny analytic problems.
+
+Mirrors the reference's integration tests: K₂ MaxCut must reach obj = -1
+at 1e-8 tolerances under three configurations (reference:
+test/maxcut.jl:4-77); K₂ MinBisection must reach obj = 1 at 1e-4
+(reference: test/minimumbisection.jl:3-24). Adds Lovász-θ and CutNorm
+end-to-end solves (placeholders in the reference, test/lovasztheta.jl)
+and an inequality-path solve.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+from sdplrplus_tpu import sdplr
+from sdplrplus_tpu.models import (
+    cutnorm,
+    lovasz_theta,
+    make_random_graph,
+    maxcut,
+    minimum_bisection,
+    relaxed_maxcut_ineq,
+)
+
+K2 = sp.csr_matrix(np.array([[0.0, 1.0], [1.0, 0.0]]))
+
+
+def test_maxcut_k2():
+    C, As, b = maxcut(K2)
+    res = sdplr(
+        C, As, b, 1,
+        fprec=0.0, gtol=1e-8, objtol=1e-8, ptol=1e-8,
+        prior_trace_bound=2.0, printlevel=0,
+    )
+    assert abs(res["obj"] - (-1.0)) < 1e-6
+
+
+def test_maxcut_k2_sigma0():
+    C, As, b = maxcut(K2)
+    res = sdplr(
+        C, As, b, 1,
+        sigma0=10.0, fprec=0.0, gtol=1e-8, objtol=1e-8, ptol=1e-8,
+        prior_trace_bound=2.0, printlevel=0,
+    )
+    assert abs(res["obj"] - (-1.0)) < 1e-6
+
+
+def test_maxcut_k2_init_func():
+    C, As, b = maxcut(K2)
+
+    def init_func(prob, r, scale):
+        rng = np.random.default_rng(42)
+        return rng.normal(size=(prob.n, r)) * np.sqrt(scale), np.zeros(prob.m)
+
+    res = sdplr(
+        C, As, b, 1,
+        init_func=init_func, init_args=(10.0,),
+        fprec=0.0, gtol=1e-8, objtol=1e-8, ptol=1e-8,
+        prior_trace_bound=2.0, printlevel=0,
+    )
+    assert abs(res["obj"] - (-1.0)) < 1e-6
+
+
+def test_minimum_bisection_k2():
+    C, As, b = minimum_bisection(K2)
+    res = sdplr(
+        C, As, b, 1,
+        fprec=0.0, objtol=1e-4, ptol=1e-4,
+        prior_trace_bound=2.0, printlevel=0,
+    )
+    assert (res["obj"] - 1.0) / (1.0 + abs(res["obj"])) < 1e-4
+
+
+def test_lovasz_theta_small():
+    # Lovász θ of K_n is 1 (complete graph); of the empty graph it is n.
+    # Use C5 (5-cycle): θ(C5) = sqrt(5).
+    n = 5
+    rows = np.arange(n)
+    cols = (rows + 1) % n
+    A = sp.csr_matrix(
+        (np.ones(n), (rows, cols)), shape=(n, n)
+    )
+    A = A + A.T
+    C, As, b = lovasz_theta(A)
+    res = sdplr(
+        C, As, b, 3,
+        fprec=0.0, objtol=1e-5, ptol=1e-6,
+        prior_trace_bound=1.0, printlevel=0, maxmajoriter=200,
+    )
+    assert abs(-res["obj"] - np.sqrt(5.0)) < 1e-3
+
+
+def test_cutnorm_small():
+    # Cut norm SDP on the 2x2 all-ones matrix: C = -[0 A; A' 0]/2 over
+    # Diag(X)=1. At X = xx' with x = 1 (all aligned), <-C, X> counts both
+    # off-diagonal blocks: 2 * (1/2) * sum_ij A_ij = 4.
+    A = sp.csr_matrix(np.ones((2, 2)))
+    C, As, b = cutnorm(A)
+    res = sdplr(
+        C, As, b, 2,
+        fprec=0.0, objtol=1e-5, ptol=1e-6,
+        prior_trace_bound=4.0, printlevel=0, maxmajoriter=200,
+    )
+    assert abs(-res["obj"] - 4.0) < 1e-3
+
+
+def test_relaxed_maxcut_inequality_path():
+    # Diag(X) <= 1 relaxation of MaxCut on K2: same optimum -1
+    C, As, b, ct = relaxed_maxcut_ineq(K2)
+    res = sdplr(
+        C, As, b, 1, constraint_types=ct,
+        fprec=0.0, objtol=1e-5, ptol=1e-6,
+        prior_trace_bound=2.0, printlevel=0, maxmajoriter=200,
+    )
+    assert abs(res["obj"] - (-1.0)) < 1e-3
+
+
+def test_maxcut_random_graph_duality_gap():
+    """Moderate random graph: solver should certify its own 1e-2 gap."""
+    A = make_random_graph(30, 0.5, seed=3)
+    C, As, b = maxcut(A)
+    res = sdplr(
+        C, As, b, 5,
+        objtol=1e-2, ptol=1e-2,
+        prior_trace_bound=30.0, printlevel=0, maxmajoriter=100,
+    )
+    assert res["primal_vio"] <= 1e-2
+    assert res["min_duality_gap"] <= 1e-2
