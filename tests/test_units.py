@@ -1,0 +1,151 @@
+"""Unit tests for the numeric building blocks: closed-form cubic roots,
+quartic minimization, L-BFGS ring buffer semantics, Lanczos min-eig, and
+the SymLowRank norm (reference: test/symlowrank.jl:2-15)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdplrplus_tpu import SDPProblem, compile_problem
+from sdplrplus_tpu.models import make_random_graph, maxcut
+from sdplrplus_tpu.ops.cubic import cubic_real_roots, minimize_quartic
+from sdplrplus_tpu.ops.device import to_device
+from sdplrplus_tpu.ops.lanczos import (
+    lanczos_alpha_beta,
+    lanczos_alpha_beta_reorth,
+    tridiag_min_eig,
+)
+from sdplrplus_tpu.problem import SymLowRank
+from sdplrplus_tpu.ops.adjoint import assemble_s_tri
+from sdplrplus_tpu.solver.lbfgs import (
+    lbfgs_clear,
+    lbfgs_direction,
+    lbfgs_init,
+    lbfgs_push,
+)
+
+from oracles import dense_S
+
+
+# ---------------------------------------------------------------- cubic
+@pytest.mark.parametrize("coeffs", [
+    (1.0, -6.0, 11.0, -6.0),   # roots 1, 2, 3
+    (2.0, 0.0, -8.0, 0.0),     # roots 0, ±2
+    (1.0, 0.0, 0.0, -8.0),     # single real root 2
+    (0.0, 1.0, -3.0, 2.0),     # quadratic: roots 1, 2
+    (0.0, 0.0, 2.0, -3.0),     # linear: root 1.5
+])
+def test_cubic_real_roots(coeffs):
+    a, b, c, d = coeffs
+    roots = np.asarray(cubic_real_roots(a, b, c, d))
+    roots = roots[~np.isnan(roots)]
+    np_roots = np.roots([a, b, c, d]) if a != 0 else (
+        np.roots([b, c, d]) if b != 0 else np.array([-d / c])
+    )
+    np_real = np.sort(np_roots[np.abs(np_roots.imag) < 1e-9].real)
+    assert roots.shape[0] == np_real.shape[0]
+    assert np.allclose(np.sort(roots), np_real, atol=1e-8)
+
+
+def test_minimize_quartic_matches_grid():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        c = rng.normal(size=5)
+        c[4] = abs(c[4]) + 0.1  # positive leading coeff -> bounded below
+        amax = 1.0
+        alpha, fval = minimize_quartic(tuple(jnp.float64(x) for x in c), jnp.float64(amax))
+        grid = np.linspace(0, amax, 20001)
+        fgrid = c[0] + grid * (c[1] + grid * (c[2] + grid * (c[3] + grid * c[4])))
+        assert float(fval) <= fgrid.min() + 1e-8
+        assert 0.0 <= float(alpha) <= amax
+
+
+# ---------------------------------------------------------------- L-BFGS
+def test_lbfgs_matches_dense_reference():
+    """Two-loop recursion on the ring buffer must match a straightforward
+    list-based two-loop implementation."""
+    rng = np.random.default_rng(5)
+    n, r, k = 16, 3, 4
+    state = lbfgs_init(k, n, r, jnp.float64)
+
+    pairs = []
+    G = jnp.asarray(rng.normal(size=(n, r)))
+    for step in range(6):  # overfill the ring to exercise wraparound
+        d = lbfgs_direction(state, G, k)
+
+        # dense reference two-loop (newest->oldest), matching reference
+        # semantics (src/lbfgs.jl:77-117): no H0 scaling, negate at end
+        q = np.asarray(G).copy()
+        alphas = []
+        for (s, y, rho) in reversed(pairs[-k:]):
+            a = rho * np.vdot(s, q)
+            q = q - a * y
+            alphas.append(a)
+        for (s, y, rho), a in zip(pairs[-k:], reversed(alphas)):
+            b = rho * np.vdot(y, q)
+            q = q + (a - b) * s
+        assert np.allclose(np.asarray(d), -q, atol=1e-12)
+
+        alpha = 0.1 + 0.05 * step
+        G_new = jnp.asarray(rng.normal(size=(n, r)))
+        state = lbfgs_push(state, alpha, d, G, G_new, k)
+        s_np = alpha * np.asarray(d)
+        y_np = np.asarray(G_new) - np.asarray(G)
+        pairs.append((s_np, y_np, 1.0 / np.vdot(y_np, s_np)))
+        G = G_new
+
+    state = lbfgs_clear(state)
+    d = lbfgs_direction(state, G, k)
+    assert np.allclose(np.asarray(d), -np.asarray(G))
+
+
+# ---------------------------------------------------------------- Lanczos
+def _setup_S(n=24, seed=3):
+    A = make_random_graph(n, 0.4, seed=seed)
+    C, As, b = maxcut(A)
+    prob = SDPProblem(C, As, b, None)
+    cp = compile_problem(prob)
+    dp = to_device(cp, jnp.float64)
+    rng = np.random.default_rng(seed)
+    y_full = jnp.asarray(rng.normal(size=prob.m + 1))
+    s_tri = assemble_s_tri(dp, y_full)
+    S_ref = dense_S(prob, np.asarray(y_full))
+    return dp, s_tri, y_full, S_ref
+
+
+def test_lanczos_mineig():
+    dp, s_tri, y_full, S_ref = _setup_S()
+    lam_min_ref = np.linalg.eigvalsh(S_ref)[0]
+    key = jax.random.PRNGKey(0)
+    q = dp.n - 1
+    alpha, beta, k_eff = lanczos_alpha_beta(
+        dp, s_tri, y_full, key, jnp.int32(q), q_max=64
+    )
+    est = tridiag_min_eig(np.asarray(alpha), np.asarray(beta), int(k_eff))
+    assert abs(est - lam_min_ref) < 1e-6 * max(1.0, abs(lam_min_ref))
+
+
+def test_lanczos_reorth_mineig():
+    dp, s_tri, y_full, S_ref = _setup_S(seed=9)
+    lam_min_ref = np.linalg.eigvalsh(S_ref)[0]
+    key = jax.random.PRNGKey(1)
+    alpha, beta, k_eff = lanczos_alpha_beta_reorth(
+        dp, s_tri, y_full, key, q_max=32
+    )
+    est = tridiag_min_eig(np.asarray(alpha), np.asarray(beta), int(k_eff))
+    assert abs(est - lam_min_ref) < 1e-8 * max(1.0, abs(lam_min_ref))
+
+
+# ---------------------------------------------------------------- SymLowRank
+def test_symlowrank_norm():
+    """Frobenius norm via the Gram trick vs dense expansion
+    (reference: test/symlowrank.jl:2-15)."""
+    rng = np.random.default_rng(2)
+    for _ in range(20):
+        n, s = rng.integers(3, 20), rng.integers(1, 4)
+        B = rng.normal(size=(n, s))
+        d = rng.normal(size=s)
+        M = SymLowRank(B, d)
+        dense = (B * d) @ B.T
+        assert abs(M.norm_fro() - np.linalg.norm(dense)) < 1e-9
