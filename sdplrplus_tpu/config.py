@@ -61,6 +61,10 @@ class SolverConfig:
     seed: int = 0                 # PRNG seed for random R0 / Lanczos start
     inner_chunk: int = 1000       # device inner-loop steps per host sync
     lanczos_tol_scale: float = 1.0
+    # checkpoint/resume (SURVEY §5): serialize (R, λ, σ, r) at major-iter
+    # boundaries; resume via utils.checkpoint.warm_start_from
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 1     # major iterations between checkpoints
 
     def copy_with(self, **kwargs) -> "SolverConfig":
         unknown = set(kwargs) - {f.name for f in dataclasses.fields(self)}

@@ -275,6 +275,19 @@ def _solve(prob: SDPProblem, cp: CompiledProblem, dp: DeviceProblem,
         cur_ptol = max(cur_ptol, config.ptol)
         cur_gtol = max(cur_gtol, config.gtol)
 
+        # checkpoint at the major-iteration boundary (SURVEY §5)
+        if (
+            config.checkpoint_path is not None
+            and majoriter % max(config.checkpoint_every, 1) == 0
+        ):
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                config.checkpoint_path,
+                R=np.asarray(R[:n]), lam=np.asarray(lam), sigma=sigma,
+                r=r, majoriter=majoriter, total_iter=total_iter,
+            )
+
         # re-sync state for the next major iteration (src/sdplr.jl:389)
         L_val, vio_raw, G, y_full, gnorm_d, pnorm_d = _fg(
             dp, R, lam, sigma, gtol_relative=gtol_rel, ptol_relative=ptol_rel
