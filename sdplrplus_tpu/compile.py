@@ -16,15 +16,25 @@ Here the same information is compiled into **padded, statically-shaped
 arrays** so every hot operator is a jittable gather / segment-sum /
 matmul with no dynamic shapes:
 
-  agg_rows/agg_cols [P]  triu aggregate pattern (the gather pattern for
-                         sampling UUᵀ at nnz positions)
-  ent_*             [E]  flattened (constraint, entry) pairs: aggregate
-                         position, global constraint id (m == objective),
-                         val_one, val_two  — forward op = gather +
-                         segment-sum over ent_con_id; adjoint S assembly
-                         = segment-sum over ent_agg_idx
+  agg_rows/agg_cols [P]    triu aggregate pattern (the gather pattern for
+                           sampling UUᵀ at nnz positions)
+  c_val_one/two     [P]    C's values aligned to the aggregate pattern
+                           (zero where C has no entry) — ⟨C, ·⟩ becomes a
+                           plain dot against the sampled uv values
+  con_pos/val_*     [m,K]  per-constraint entry lists in ELL layout —
+                           constraint values = tiny widened gathers from
+                           uv, NO scatter / segment-sum
+  pos_cid/pos_val   [P,J]  the INVERSE map (which constraints touch each
+                           aggregate position) — S assembly becomes a
+                           gather from y, again scatter-free
   ell_cols/ell_tri  [n_pad, W] + tail COO — the full symmetric pattern of
-                         S in ELL(+overflow) layout for the SpMM G = S@R
+                           S in ELL(+overflow) layout for the SpMM G = S@R
+
+Scatters are deliberately absent: on TPU a dynamic scatter/segment-sum
+runs at ~8 ns/element on the scalar path, while widened (≥8-lane) row
+gathers run ~3 ns/index — every reduction here is therefore expressed as
+a gather through a compile-time-inverted index map (measured on v5e; see
+docs/DESIGN.md).
 
 Low-rank (B d Bᵀ) operands bypass the sparse pipeline entirely and become
 dense tall-skinny MXU matmuls (reference: src/coreop.jl:115-151,271-300).
@@ -75,11 +85,19 @@ class CompiledProblem:
     agg_rows: np.ndarray      # (P_pad,)
     agg_cols: np.ndarray      # (P_pad,)
 
-    # flattened per-constraint entries
-    ent_agg_idx: np.ndarray   # (E_pad,)
-    ent_con_id: np.ndarray    # (E_pad,)
-    ent_val_one: np.ndarray   # (E_pad,)
-    ent_val_two: np.ndarray   # (E_pad,)
+    # C's values aligned to the aggregate pattern
+    c_val_one: np.ndarray     # (P_pad,) raw values (S assembly)
+    c_val_two: np.ndarray     # (P_pad,) off-diag doubled (inner products)
+
+    # per-constraint entries, ELL layout over constraints (width K)
+    con_width: int
+    con_pos: np.ndarray       # (m, K) -> index into the (P_pad,) uv array
+    con_val_two: np.ndarray   # (m, K)
+
+    # inverse map: constraints touching each aggregate position (width J)
+    pos_width: int
+    pos_cid: np.ndarray       # (P_pad, J) -> constraint id (m = none)
+    pos_val: np.ndarray       # (P_pad, J) raw values
 
     # full symmetric pattern of S in ELL + COO-tail layout
     ell_cols: np.ndarray      # (n_pad, W)
@@ -143,34 +161,44 @@ def compile_problem(
     agg_rows[:P] = agg_keys // n
     agg_cols[:P] = agg_keys % n
 
-    # ---- per-constraint entry arrays (src/preprocess.jl:95-135) ------------
-    e_idx, e_cid, e_v1, e_v2 = [], [], [], []
+    # ---- per-constraint / C entry maps (src/preprocess.jl:95-135) ----------
+    # C's entries become dense (P_pad,)-aligned value arrays; true
+    # constraints become a (m, K) ELL over their (few) entries plus the
+    # inverse (P_pad, J) position->constraint map (scatter-free design).
+    c_val_one = np.zeros(P_pad)
+    c_val_two = np.zeros(P_pad)
+    con_entries: List[list] = [[] for _ in range(m)]  # (pos, v1, v2)
+    pos_entries: List[list] = [[] for _ in range(P_pad)]
     for gid, A in sparse_ops:
         ti, tj, tv = _triu_of(A)
         keys = ti.astype(np.int64) * n + tj.astype(np.int64)
         pos = np.searchsorted(agg_keys, keys)
-        e_idx.append(pos)
-        e_cid.append(np.full(pos.shape[0], gid, dtype=np.int64))
-        e_v1.append(tv)
-        e_v2.append(np.where(ti == tj, tv, 2.0 * tv))
-    if e_idx:
-        ent_agg_idx = np.concatenate(e_idx)
-        ent_con_id = np.concatenate(e_cid)
-        ent_val_one = np.concatenate(e_v1)
-        ent_val_two = np.concatenate(e_v2)
-    else:
-        ent_agg_idx = np.zeros(0, dtype=np.int64)
-        ent_con_id = np.zeros(0, dtype=np.int64)
-        ent_val_one = np.zeros(0)
-        ent_val_two = np.zeros(0)
-    E = ent_agg_idx.shape[0]
-    E_pad = _round_up(max(E, 1), nnz_pad)
-    pad = E_pad - E
-    # padding entries: zero weight, point at the zero slot / objective segment
-    ent_agg_idx = np.concatenate([ent_agg_idx, np.full(pad, P_pad - 1, dtype=np.int64)])
-    ent_con_id = np.concatenate([ent_con_id, np.full(pad, m, dtype=np.int64)])
-    ent_val_one = np.concatenate([ent_val_one, np.zeros(pad)])
-    ent_val_two = np.concatenate([ent_val_two, np.zeros(pad)])
+        v2 = np.where(ti == tj, tv, 2.0 * tv)
+        if gid == m:  # the objective C
+            c_val_one[pos] = tv
+            c_val_two[pos] = v2
+        else:
+            for p, v1e, v2e in zip(pos, tv, v2):
+                con_entries[gid].append((int(p), float(v1e), float(v2e)))
+                pos_entries[int(p)].append((gid, float(v1e)))
+
+    K = max((len(e) for e in con_entries), default=0)
+    K = max(K, 1)
+    con_pos = np.full((m, K), P_pad - 1, dtype=np.int64)  # zero slot
+    con_val_two = np.zeros((m, K))
+    for gid, entries in enumerate(con_entries):
+        for k, (p, _v1, v2e) in enumerate(entries):
+            con_pos[gid, k] = p
+            con_val_two[gid, k] = v2e
+
+    J = max((len(e) for e in pos_entries), default=0)
+    J = max(J, 1)
+    pos_cid = np.full((P_pad, J), m, dtype=np.int64)  # m = "no constraint"
+    pos_val = np.zeros((P_pad, J))
+    for p, entries in enumerate(pos_entries):
+        for j, (gid, v1e) in enumerate(entries):
+            pos_cid[p, j] = gid
+            pos_val[p, j] = v1e
 
     # ---- full symmetric pattern -> ELL + tail (src/preprocess.jl:137-159) ---
     # full pattern = triu entries + mirror of strict-triu entries
@@ -236,10 +264,14 @@ def compile_problem(
         ell_width=W,
         agg_rows=agg_rows,
         agg_cols=agg_cols,
-        ent_agg_idx=ent_agg_idx.astype(INDEX_DTYPE),
-        ent_con_id=ent_con_id.astype(INDEX_DTYPE),
-        ent_val_one=ent_val_one,
-        ent_val_two=ent_val_two,
+        c_val_one=c_val_one,
+        c_val_two=c_val_two,
+        con_width=K,
+        con_pos=con_pos.astype(INDEX_DTYPE),
+        con_val_two=con_val_two,
+        pos_width=J,
+        pos_cid=pos_cid.astype(INDEX_DTYPE),
+        pos_val=pos_val,
         ell_cols=ell_cols,
         ell_tri=ell_tri.astype(INDEX_DTYPE),
         tail_rows=tail_rows,

@@ -30,10 +30,12 @@ class DeviceProblem:
     # -- array leaves ---------------------------------------------------------
     agg_rows: jax.Array
     agg_cols: jax.Array
-    ent_agg_idx: jax.Array
-    ent_con_id: jax.Array
-    ent_val_one: jax.Array
-    ent_val_two: jax.Array
+    c_val_one: jax.Array
+    c_val_two: jax.Array
+    con_pos: jax.Array
+    con_val_two: jax.Array
+    pos_cid: jax.Array
+    pos_val: jax.Array
     ell_cols: jax.Array
     ell_tri: jax.Array
     tail_rows: jax.Array
@@ -50,6 +52,8 @@ class DeviceProblem:
     n_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     P_pad: int = dataclasses.field(metadata=dict(static=True), default=0)
     ell_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    con_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    pos_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     has_tail: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
     normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -71,10 +75,12 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
     return DeviceProblem(
         agg_rows=i(cp.agg_rows),
         agg_cols=i(cp.agg_cols),
-        ent_agg_idx=i(cp.ent_agg_idx),
-        ent_con_id=i(cp.ent_con_id),
-        ent_val_one=f(cp.ent_val_one),
-        ent_val_two=f(cp.ent_val_two),
+        c_val_one=f(cp.c_val_one),
+        c_val_two=f(cp.c_val_two),
+        con_pos=i(cp.con_pos),
+        con_val_two=f(cp.con_val_two),
+        pos_cid=i(cp.pos_cid),
+        pos_val=f(cp.pos_val),
         ell_cols=i(cp.ell_cols),
         ell_tri=i(cp.ell_tri),
         tail_rows=i(cp.tail_rows),
@@ -89,6 +95,8 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         n_pad=cp.n_pad,
         P_pad=cp.P_pad,
         ell_width=cp.ell_width,
+        con_width=cp.con_width,
+        pos_width=cp.pos_width,
         has_tail=cp.tail_rows.shape[0] > 0,
         has_inequalities=cp.has_inequalities,
         normC=float(cp.normC),

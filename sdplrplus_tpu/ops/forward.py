@@ -1,13 +1,21 @@
 """Forward constraint operator 𝒜: sample UUᵀ / (UVᵀ+VUᵀ)/2 at the aggregate
-sparsity pattern, then segment-reduce per constraint.
+sparsity pattern, then reduce per constraint.
 
 TPU-native re-design of the reference's forward kernels
 (reference: src/coreop.jl:33-203). The reference loops over nnz positions
 with SIMD row-dot products and then does one SpMV against the
-``nzval_two`` matrix; here the same math is a batched gather + row-dot
-(VPU) followed by a segment-sum keyed by constraint id (XLA scatter-add
-over contiguous, sorted segments). Low-rank operands are MXU contractions
-UᵀB (reference: src/coreop.jl:115-151).
+``nzval_two`` matrix. Here:
+
+  * the nnz sampling is a batched row-gather + row-dot on the VPU
+    (rows of the n×r factor are ≥8-lane units, the fast gather regime
+    on TPU — measured ~3 ns/index on v5e vs ~8 ns for 1-D gathers),
+  * ⟨C, ·⟩ is a plain dot against the P-aligned ``c_val_two`` array,
+  * constraint values are tiny (m, K) widened gathers from the sampled
+    uv values — NO scatter / segment-sum anywhere (dynamic scatters run
+    on the TPU scalar path and measured ~3× slower than this layout).
+
+Low-rank operands are MXU contractions UᵀB (reference:
+src/coreop.jl:115-151).
 
 Output convention matches the reference: a length-(m+1) vector whose slot
 ``m`` carries ⟨C, ·⟩ (the objective) and slots 0..m-1 carry ⟨Aᵢ, ·⟩.
@@ -20,6 +28,22 @@ import jax.numpy as jnp
 
 from .device import DeviceProblem
 
+_WIDE = 8  # lane width for widened 1-D lookup tables
+
+
+def _widen(v: jax.Array) -> jax.Array:
+    """(P,) -> (P, 8): puts a 1-D lookup table in the fast-gather regime."""
+    return jnp.broadcast_to(v[:, None], (v.shape[0], _WIDE))
+
+
+def _reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
+    """uv values at the aggregate pattern -> (m+1,) constraint values."""
+    obj = jnp.dot(dp.c_val_two, uv)
+    uv_w = _widen(uv)
+    g = jnp.take(uv_w, dp.con_pos.reshape(-1), axis=0)[:, 0]
+    cons = jnp.sum(dp.con_val_two * g.reshape(dp.m, dp.con_width), axis=1)
+    return jnp.concatenate([cons, obj[None]])
+
 
 def uv_values_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """(UUᵀ) sampled at the aggregate triu pattern -> (P_pad,)."""
@@ -30,21 +54,17 @@ def uv_values_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
 
 def uv_values_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     """((UVᵀ+VUᵀ)/2) sampled at the aggregate triu pattern -> (P_pad,)."""
-    Ur = jnp.take(U, dp.agg_rows, axis=0)
-    Uc = jnp.take(U, dp.agg_cols, axis=0)
-    Vr = jnp.take(V, dp.agg_rows, axis=0)
-    Vc = jnp.take(V, dp.agg_cols, axis=0)
+    UVr = jnp.take(jnp.concatenate([U, V], axis=1), dp.agg_rows, axis=0)
+    UVc = jnp.take(jnp.concatenate([U, V], axis=1), dp.agg_cols, axis=0)
+    r = U.shape[1]
+    Ur, Vr = UVr[:, :r], UVr[:, r:]
+    Uc, Vc = UVc[:, :r], UVc[:, r:]
     return 0.5 * (jnp.sum(Ur * Vc, axis=1) + jnp.sum(Vr * Uc, axis=1))
-
-
-def _segment_reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
-    contrib = dp.ent_val_two * jnp.take(uv, dp.ent_agg_idx)
-    return jax.ops.segment_sum(contrib, dp.ent_con_id, num_segments=dp.m + 1)
 
 
 def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """𝒜(UUᵀ) -> (m+1,), slot m = ⟨C, UUᵀ⟩ (reference: src/coreop.jl:36-49)."""
-    vals = _segment_reduce(dp, uv_values_uu(dp, U))
+    vals = _reduce(dp, uv_values_uu(dp, U))
     for t in dp.lowrank:
         UtB = U.T @ t.B  # (r, s), MXU
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * UtB, axis=0)))
@@ -53,9 +73,38 @@ def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
 
 def A_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     """𝒜((UVᵀ+VUᵀ)/2) -> (m+1,) (reference: src/coreop.jl:54-70)."""
-    vals = _segment_reduce(dp, uv_values_uv(dp, U, V))
+    vals = _reduce(dp, uv_values_uv(dp, U, V))
     for t in dp.lowrank:
         UtB = U.T @ t.B
         VtB = V.T @ t.B
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * VtB, axis=0)))
     return vals
+
+
+def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
+    """Fused line-search products: (A_RD, A_DD) where
+    A_RD = 𝒜(RDᵀ + DRᵀ) (the ×2-scaled quantity the line searches use,
+    reference: src/linesearch.jl:10-15) and A_DD = 𝒜(DDᵀ).
+
+    One concatenated [R|D] gather pair serves both products — 2 row
+    gathers instead of the 6 a naive A_uv + A_uu would issue.
+    """
+    r = R.shape[1]
+    RD = jnp.concatenate([R, D], axis=1)            # (n_pad, 2r)
+    Gr = jnp.take(RD, dp.agg_rows, axis=0)
+    Gc = jnp.take(RD, dp.agg_cols, axis=0)
+    Rr, Dr = Gr[:, :r], Gr[:, r:]
+    Rc, Dc = Gc[:, :r], Gc[:, r:]
+    uv_RD = jnp.sum(Rr * Dc + Dr * Rc, axis=1)      # 𝒜(RDᵀ+DRᵀ) samples
+    uv_DD = jnp.sum(Dr * Dc, axis=1)
+
+    A_RD = _reduce(dp, uv_RD)
+    A_DD = _reduce(dp, uv_DD)
+    if dp.lowrank:
+        RtB = {id(t): R.T @ t.B for t in dp.lowrank}
+        DtB = {id(t): D.T @ t.B for t in dp.lowrank}
+        for t in dp.lowrank:
+            rb, db = RtB[id(t)], DtB[id(t)]
+            A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
+            A_DD = A_DD.at[t.gid].add(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
+    return A_RD, A_DD

@@ -45,11 +45,7 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
     """Place a compiled problem on the mesh with the SURVEY §5 layout."""
     nd = int(np.prod(mesh.devices.shape))
-    for dim, name in [
-        (cp.n_pad, "n_pad"),
-        (cp.P_pad, "P_pad"),
-        (cp.ent_agg_idx.shape[0], "E_pad"),
-    ]:
+    for dim, name in [(cp.n_pad, "n_pad"), (cp.P_pad, "P_pad")]:
         if dim % nd != 0:
             raise ValueError(
                 f"{name}={dim} not divisible by {nd} devices; recompile the "
@@ -69,13 +65,16 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         for t in dp.lowrank
     )
     tail_sh = s_nnz if dp.tail_rows.shape[0] % nd == 0 and dp.tail_rows.shape[0] > 0 else s_rep
+    con_sh = s_row if dp.con_pos.shape[0] % nd == 0 and dp.con_pos.shape[0] > 0 else s_rep
     return DeviceProblem(
         agg_rows=put(dp.agg_rows, s_nnz),
         agg_cols=put(dp.agg_cols, s_nnz),
-        ent_agg_idx=put(dp.ent_agg_idx, s_nnz),
-        ent_con_id=put(dp.ent_con_id, s_nnz),
-        ent_val_one=put(dp.ent_val_one, s_nnz),
-        ent_val_two=put(dp.ent_val_two, s_nnz),
+        c_val_one=put(dp.c_val_one, s_nnz),
+        c_val_two=put(dp.c_val_two, s_nnz),
+        con_pos=put(dp.con_pos, con_sh),
+        con_val_two=put(dp.con_val_two, con_sh),
+        pos_cid=put(dp.pos_cid, s_row),
+        pos_val=put(dp.pos_val, s_row),
         ell_cols=put(dp.ell_cols, s_row),
         ell_tri=put(dp.ell_tri, s_row),
         tail_rows=put(dp.tail_rows, tail_sh),
@@ -90,6 +89,8 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         n_pad=dp.n_pad,
         P_pad=dp.P_pad,
         ell_width=dp.ell_width,
+        con_width=dp.con_width,
+        pos_width=dp.pos_width,
         has_tail=dp.has_tail,
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,

@@ -22,7 +22,7 @@ from jax import lax
 
 from ..ops.cubic import minimize_quartic
 from ..ops.device import DeviceProblem
-from ..ops.forward import A_uu, A_uv
+from ..ops.forward import A_linesearch
 
 ARMIJO_C = 1e-4
 ARMIJO_MAX_HALVINGS = 50
@@ -30,10 +30,9 @@ ARMIJO_MAX_HALVINGS = 50
 
 def _products(dp: DeviceProblem, R, D):
     """A_RD = 𝒜(RDᵀ + DRᵀ) (scaled ×2 like the reference,
-    src/linesearch.jl:13) and A_DD = 𝒜(DDᵀ); both length m+1."""
-    A_RD = 2.0 * A_uv(dp, R, D)
-    A_DD = A_uu(dp, D)
-    return A_RD, A_DD
+    src/linesearch.jl:13) and A_DD = 𝒜(DDᵀ); both length m+1, computed in
+    one fused gather pass (ops/forward.py A_linesearch)."""
+    return A_linesearch(dp, R, D)
 
 
 def _commit(dp: DeviceProblem, vio_raw, A_RD, A_DD, alpha):
