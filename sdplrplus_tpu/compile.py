@@ -99,6 +99,15 @@ class CompiledProblem:
     pos_cid: np.ndarray       # (P_pad, J) -> constraint id (m = none)
     pos_val: np.ndarray       # (P_pad, J) raw values
 
+    # fast adjoint path when every sparse-constraint entry is diagonal
+    # (maxcut/cutnorm/minbisection/mu-conductance): S = C + diag(w·y) + lowrank
+    all_cons_diagonal: bool
+    cell_val: np.ndarray      # (n_pad, W) static C values aligned to ELL slots
+    tail_cval: np.ndarray     # (T_pad,) static C values for the COO tail
+    diag_width: int
+    diag_cid: np.ndarray      # (n_pad, Jd) -> constraint id (m = none)
+    diag_w: np.ndarray        # (n_pad, Jd) weights
+
     # full symmetric pattern of S in ELL + COO-tail layout
     ell_cols: np.ndarray      # (n_pad, W)
     ell_tri: np.ndarray       # (n_pad, W) -> index into s_tri (P_pad,)
@@ -240,6 +249,30 @@ def compile_problem(
     tail_cols[:T] = t_cols
     tail_tri[:T] = t_tri
 
+    # ---- fast diagonal-constraints adjoint path ------------------------------
+    # every sparse-constraint entry on the diagonal? then S@X needs no
+    # dynamic S values at all: static C-ELL + diag(w·y)·X
+    all_cons_diagonal = True
+    diag_lists: List[list] = [[] for _ in range(n)]
+    for gid, entries in enumerate(con_entries):
+        for (p, v1e, _v2) in entries:
+            i_, j_ = int(agg_keys[p] // n), int(agg_keys[p] % n)
+            if i_ == j_:
+                diag_lists[i_].append((gid, v1e))
+            else:
+                all_cons_diagonal = False
+    Jd = max((len(x) for x in diag_lists), default=0)
+    Jd = max(Jd, 1)
+    diag_cid = np.full((n_pad, Jd), m, dtype=np.int64)
+    diag_w = np.zeros((n_pad, Jd))
+    for i_, entries in enumerate(diag_lists):
+        for j, (gid, w) in enumerate(entries):
+            diag_cid[i_, j] = gid
+            diag_w[i_, j] = w
+    # static C values at ELL/tail slots (the pad slot P_pad-1 carries 0)
+    cell_val = c_val_one[ell_tri]
+    tail_cval = c_val_one[tail_tri] if T_pad else np.zeros(0)
+
     # ---- low-rank terms ------------------------------------------------------
     lr_terms = []
     for gid, A in lowrank_ops:
@@ -272,6 +305,12 @@ def compile_problem(
         pos_width=J,
         pos_cid=pos_cid.astype(INDEX_DTYPE),
         pos_val=pos_val,
+        all_cons_diagonal=all_cons_diagonal,
+        cell_val=cell_val,
+        tail_cval=tail_cval,
+        diag_width=Jd,
+        diag_cid=diag_cid.astype(INDEX_DTYPE),
+        diag_w=diag_w,
         ell_cols=ell_cols,
         ell_tri=ell_tri.astype(INDEX_DTYPE),
         tail_rows=tail_rows,

@@ -35,6 +35,16 @@ def _widen(v: jax.Array) -> jax.Array:
     return jnp.broadcast_to(v[:, None], (v.shape[0], _WIDE))
 
 
+def diag_weights(dp: DeviceProblem, y_full: jax.Array) -> jax.Array:
+    """Diagonal contribution of the sparse constraints to S:
+    d[i] = Σⱼ diag_w[i,j]·y[diag_cid[i,j]] — an (n_pad, Jd) widened gather.
+    Padding slots point at cid m with weight 0."""
+    y_w = _widen(y_full)
+    g = jnp.take(y_w, dp.diag_cid.reshape(-1), axis=0)[:, 0]
+    g = g.reshape(dp.n_pad, dp.diag_width)
+    return jnp.sum(dp.diag_w * g, axis=1)
+
+
 def assemble_s_tri(dp: DeviceProblem, y_full: jax.Array) -> jax.Array:
     """Values of S at the aggregate triu pattern -> (P_pad,).
 
@@ -58,18 +68,32 @@ def apply_S(
 ) -> jax.Array:
     """S @ X for X of shape (n_pad, r). S is symmetric, so this also serves
     the reference's left-multiply overload Xᵀ·S (reference: src/coreop.jl:260-300).
+
+    Fast path (all sparse-constraint entries diagonal — maxcut, cutnorm,
+    minbisection, μ-conductance): S = C_static + diag(w·y) + lowrank, so
+    no dynamic S values are materialized at all; the ELL multiply uses
+    compile-time C values. General path: s_tri lookups through ell_tri.
     """
     n_pad, W = dp.ell_cols.shape
-    s_w = _widen(s_tri)
-    s_ell = jnp.take(s_w, dp.ell_tri.reshape(-1), axis=0)[:, 0].reshape(n_pad, W)
     Xg = jnp.take(X, dp.ell_cols.reshape(-1), axis=0).reshape(n_pad, W, -1)
-    out = jnp.einsum("nw,nwr->nr", s_ell, Xg)
-    if dp.has_tail:
-        tv = jnp.take(s_w, dp.tail_tri, axis=0)[:, 0]  # (T,)
-        contrib = tv[:, None] * jnp.take(X, dp.tail_cols, axis=0)
-        out = out + jax.ops.segment_sum(
-            contrib, dp.tail_rows, num_segments=dp.n_pad
-        )
+    if dp.all_cons_diagonal:
+        out = y_full[dp.m] * jnp.einsum("nw,nwr->nr", dp.cell_val, Xg)
+        out = out + diag_weights(dp, y_full)[:, None] * X
+        if dp.has_tail:
+            contrib = dp.tail_cval[:, None] * jnp.take(X, dp.tail_cols, axis=0)
+            out = out + y_full[dp.m] * jax.ops.segment_sum(
+                contrib, dp.tail_rows, num_segments=dp.n_pad
+            )
+    else:
+        s_w = _widen(s_tri)
+        s_ell = jnp.take(s_w, dp.ell_tri.reshape(-1), axis=0)[:, 0].reshape(n_pad, W)
+        out = jnp.einsum("nw,nwr->nr", s_ell, Xg)
+        if dp.has_tail:
+            tv = jnp.take(s_w, dp.tail_tri, axis=0)[:, 0]  # (T,)
+            contrib = tv[:, None] * jnp.take(X, dp.tail_cols, axis=0)
+            out = out + jax.ops.segment_sum(
+                contrib, dp.tail_rows, num_segments=dp.n_pad
+            )
     for t in dp.lowrank:
         BtX = t.B.T @ X                           # (s, r), MXU
         out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
@@ -92,6 +116,9 @@ def gradient(
     m = dp.m
     y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
     y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=R.dtype)])
-    s_tri = assemble_s_tri(dp, y_full)
+    if dp.all_cons_diagonal:
+        s_tri = jnp.zeros((1,), dtype=R.dtype)  # unused on the fast path
+    else:
+        s_tri = assemble_s_tri(dp, y_full)
     G = 2.0 * apply_S(dp, s_tri, y_full, R)
     return G, y_full, s_tri

@@ -36,6 +36,10 @@ class DeviceProblem:
     con_val_two: jax.Array
     pos_cid: jax.Array
     pos_val: jax.Array
+    cell_val: jax.Array
+    tail_cval: jax.Array
+    diag_cid: jax.Array
+    diag_w: jax.Array
     ell_cols: jax.Array
     ell_tri: jax.Array
     tail_rows: jax.Array
@@ -54,6 +58,8 @@ class DeviceProblem:
     ell_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     con_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     pos_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    diag_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    all_cons_diagonal: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_tail: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
     normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -81,6 +87,10 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         con_val_two=f(cp.con_val_two),
         pos_cid=i(cp.pos_cid),
         pos_val=f(cp.pos_val),
+        cell_val=f(cp.cell_val),
+        tail_cval=f(cp.tail_cval),
+        diag_cid=i(cp.diag_cid),
+        diag_w=f(cp.diag_w),
         ell_cols=i(cp.ell_cols),
         ell_tri=i(cp.ell_tri),
         tail_rows=i(cp.tail_rows),
@@ -97,6 +107,8 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ell_width=cp.ell_width,
         con_width=cp.con_width,
         pos_width=cp.pos_width,
+        diag_width=cp.diag_width,
+        all_cons_diagonal=cp.all_cons_diagonal,
         has_tail=cp.tail_rows.shape[0] > 0,
         has_inequalities=cp.has_inequalities,
         normC=float(cp.normC),

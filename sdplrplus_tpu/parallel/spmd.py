@@ -75,6 +75,10 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         con_val_two=put(dp.con_val_two, con_sh),
         pos_cid=put(dp.pos_cid, s_row),
         pos_val=put(dp.pos_val, s_row),
+        cell_val=put(dp.cell_val, s_row),
+        tail_cval=put(dp.tail_cval, tail_sh),
+        diag_cid=put(dp.diag_cid, s_row),
+        diag_w=put(dp.diag_w, s_row),
         ell_cols=put(dp.ell_cols, s_row),
         ell_tri=put(dp.ell_tri, s_row),
         tail_rows=put(dp.tail_rows, tail_sh),
@@ -91,6 +95,8 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         ell_width=dp.ell_width,
         con_width=dp.con_width,
         pos_width=dp.pos_width,
+        diag_width=dp.diag_width,
+        all_cons_diagonal=dp.all_cons_diagonal,
         has_tail=dp.has_tail,
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,

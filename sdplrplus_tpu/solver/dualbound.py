@@ -32,6 +32,8 @@ def _y_and_s(dp: DeviceProblem, lam, sigma, vio_raw):
     m = dp.m
     y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
     y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=lam.dtype)])
+    if dp.all_cons_diagonal:
+        return y_full, jnp.zeros((1,), dtype=lam.dtype)
     return y_full, assemble_s_tri(dp, y_full)
 
 
