@@ -65,6 +65,9 @@ class SolverConfig:
     # boundaries; resume via utils.checkpoint.warm_start_from
     checkpoint_path: Optional[str] = None
     checkpoint_every: int = 1     # major iterations between checkpoints
+    # tracing/profiling (SURVEY §5): when set, the solve runs under
+    # jax.profiler.trace writing a TensorBoard-readable trace here
+    profile_dir: Optional[str] = None
 
     def copy_with(self, **kwargs) -> "SolverConfig":
         unknown = set(kwargs) - {f.name for f in dataclasses.fields(self)}

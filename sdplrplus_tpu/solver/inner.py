@@ -83,25 +83,28 @@ def inner_chunk(
 
     def body(c: InnerCarry) -> InnerCarry:
         # direction + descent fallback (reference: src/sdplr.jl:196-205)
-        direction = lbfgs_direction(c.lbfgs, c.G, k)
-        descent = jnp.vdot(direction, c.G)
-        bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
-        direction = jnp.where(bad, -c.G, direction)
+        with jax.named_scope("lbfgs_direction"):
+            direction = lbfgs_direction(c.lbfgs, c.G, k)
+            descent = jnp.vdot(direction, c.G)
+            bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
+            direction = jnp.where(bad, -c.G, direction)
 
         # line search (reference: src/sdplr.jl:210-215)
-        if use_armijo:
-            alpha, L_new, vio_new = armijo_linesearch(
-                dp, c.R, direction, c.vio_raw, lam, sigma, c.y_full
-            )
-        else:
-            alpha, L_new, vio_new = exact_linesearch(
-                dp, c.R, direction, c.vio_raw, lam, sigma
-            )
+        with jax.named_scope("linesearch"):
+            if use_armijo:
+                alpha, L_new, vio_new = armijo_linesearch(
+                    dp, c.R, direction, c.vio_raw, lam, sigma, c.y_full
+                )
+            else:
+                alpha, L_new, vio_new = exact_linesearch(
+                    dp, c.R, direction, c.vio_raw, lam, sigma
+                )
 
         # step + gradient (reference: src/sdplr.jl:219-223)
-        R_new = c.R + alpha * direction
-        G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
-        gnorm = jnp.linalg.norm(G_new.reshape(-1)) / gscale
+        with jax.named_scope("gradient"):
+            R_new = c.R + alpha * direction
+            G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
+            gnorm = jnp.linalg.norm(G_new.reshape(-1)) / gscale
 
         # fprec stagnation (reference: src/sdplr.jl:236-241)
         rel_delta = (c.L_val - L_new) / jnp.maximum(

@@ -105,7 +105,11 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
     dp = to_device(cp, dtype)
     preprocess_time = time.time() - t_pre
 
-    result = _solve(prob, cp, dp, r, config, dtype)
+    if config.profile_dir is not None:
+        with jax.profiler.trace(config.profile_dir):
+            result = _solve(prob, cp, dp, r, config, dtype)
+    else:
+        result = _solve(prob, cp, dp, r, config, dtype)
     result["preprocess_time"] = preprocess_time
     result["totaltime"] += preprocess_time
 
