@@ -89,10 +89,15 @@ class CompiledProblem:
     c_val_one: np.ndarray     # (P_pad,) raw values (S assembly)
     c_val_two: np.ndarray     # (P_pad,) off-diag doubled (inner products)
 
-    # per-constraint entries, ELL layout over constraints (width K)
+    # per-constraint entries, ELL layout over constraints (width K).
+    # Constraints with more than WIDE_THRESHOLD entries (e.g. Lovász-θ's
+    # trace constraint with n entries) are "wide": their values live as
+    # dense P-aligned rows and their forward reduce is a dense matvec.
     con_width: int
     con_pos: np.ndarray       # (m, K) -> index into the (P_pad,) uv array
     con_val_two: np.ndarray   # (m, K)
+    wide_gids: Tuple[int, ...]       # global ids of wide constraints
+    wide_val_two: np.ndarray  # (n_wide, P_pad)
 
     # inverse map: constraints touching each aggregate position (width J)
     pos_width: int
@@ -191,11 +196,26 @@ def compile_problem(
                 con_entries[gid].append((int(p), float(v1e), float(v2e)))
                 pos_entries[int(p)].append((gid, float(v1e)))
 
-    K = max((len(e) for e in con_entries), default=0)
+    WIDE_THRESHOLD = 8
+    wide_gids = tuple(
+        gid for gid, e in enumerate(con_entries) if len(e) > WIDE_THRESHOLD
+    )
+    wide_set = set(wide_gids)
+    wide_val_two = np.zeros((len(wide_gids), P_pad))
+    for w, gid in enumerate(wide_gids):
+        for (p, _v1, v2e) in con_entries[gid]:
+            wide_val_two[w, p] = v2e
+
+    K = max(
+        (len(e) for gid, e in enumerate(con_entries) if gid not in wide_set),
+        default=0,
+    )
     K = max(K, 1)
     con_pos = np.full((m, K), P_pad - 1, dtype=np.int64)  # zero slot
     con_val_two = np.zeros((m, K))
     for gid, entries in enumerate(con_entries):
+        if gid in wide_set:
+            continue  # handled by the dense wide rows
         for k, (p, _v1, v2e) in enumerate(entries):
             con_pos[gid, k] = p
             con_val_two[gid, k] = v2e
@@ -302,6 +322,8 @@ def compile_problem(
         con_width=K,
         con_pos=con_pos.astype(INDEX_DTYPE),
         con_val_two=con_val_two,
+        wide_gids=wide_gids,
+        wide_val_two=wide_val_two,
         pos_width=J,
         pos_cid=pos_cid.astype(INDEX_DTYPE),
         pos_val=pos_val,

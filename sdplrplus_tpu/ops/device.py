@@ -34,6 +34,7 @@ class DeviceProblem:
     c_val_two: jax.Array
     con_pos: jax.Array
     con_val_two: jax.Array
+    wide_val_two: jax.Array
     pos_cid: jax.Array
     pos_val: jax.Array
     cell_val: jax.Array
@@ -60,6 +61,7 @@ class DeviceProblem:
     pos_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     diag_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     all_cons_diagonal: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    wide_gids: tuple = dataclasses.field(metadata=dict(static=True), default=())
     has_tail: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
     normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -85,6 +87,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         c_val_two=f(cp.c_val_two),
         con_pos=i(cp.con_pos),
         con_val_two=f(cp.con_val_two),
+        wide_val_two=f(cp.wide_val_two),
         pos_cid=i(cp.pos_cid),
         pos_val=f(cp.pos_val),
         cell_val=f(cp.cell_val),
@@ -109,6 +112,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         pos_width=cp.pos_width,
         diag_width=cp.diag_width,
         all_cons_diagonal=cp.all_cons_diagonal,
+        wide_gids=tuple(cp.wide_gids),
         has_tail=cp.tail_rows.shape[0] > 0,
         has_inequalities=cp.has_inequalities,
         normC=float(cp.normC),

@@ -42,7 +42,11 @@ def _reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
     uv_w = _widen(uv)
     g = jnp.take(uv_w, dp.con_pos.reshape(-1), axis=0)[:, 0]
     cons = jnp.sum(dp.con_val_two * g.reshape(dp.m, dp.con_width), axis=1)
-    return jnp.concatenate([cons, obj[None]])
+    vals = jnp.concatenate([cons, obj[None]])
+    if dp.wide_gids:  # wide constraints: dense P-aligned rows (e.g. trace)
+        wide_vals = dp.wide_val_two @ uv
+        vals = vals.at[jnp.asarray(dp.wide_gids)].set(wide_vals)
+    return vals
 
 
 def uv_values_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:

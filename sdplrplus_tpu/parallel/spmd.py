@@ -73,6 +73,7 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         c_val_two=put(dp.c_val_two, s_nnz),
         con_pos=put(dp.con_pos, con_sh),
         con_val_two=put(dp.con_val_two, con_sh),
+        wide_val_two=put(dp.wide_val_two, NamedSharding(mesh, P(None, AXIS)) if dp.wide_val_two.shape[0] else s_rep),
         pos_cid=put(dp.pos_cid, s_row),
         pos_val=put(dp.pos_val, s_row),
         cell_val=put(dp.cell_val, s_row),
@@ -97,6 +98,7 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         pos_width=dp.pos_width,
         diag_width=dp.diag_width,
         all_cons_diagonal=dp.all_cons_diagonal,
+        wide_gids=dp.wide_gids,
         has_tail=dp.has_tail,
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,
