@@ -74,6 +74,8 @@ def apply_S(
     no dynamic S values are materialized at all; the ELL multiply uses
     compile-time C values. General path: s_tri lookups through ell_tri.
     """
+    if getattr(dp, "fn_apply_S", None) is not None:  # external-model adapter
+        return dp.fn_apply_S(y_full, X)
     n_pad, W = dp.ell_cols.shape
     Xg = jnp.take(X, dp.ell_cols.reshape(-1), axis=0).reshape(n_pad, W, -1)
     if dp.all_cons_diagonal:
@@ -116,7 +118,7 @@ def gradient(
     m = dp.m
     y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
     y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=R.dtype)])
-    if dp.all_cons_diagonal:
+    if getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
         s_tri = jnp.zeros((1,), dtype=R.dtype)  # unused on the fast path
     else:
         s_tri = assemble_s_tri(dp, y_full)

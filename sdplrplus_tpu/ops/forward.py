@@ -68,6 +68,8 @@ def uv_values_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
 
 def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """𝒜(UUᵀ) -> (m+1,), slot m = ⟨C, UUᵀ⟩ (reference: src/coreop.jl:36-49)."""
+    if getattr(dp, "fn_A_uu", None) is not None:  # external-model adapter
+        return dp.fn_A_uu(U)
     vals = _reduce(dp, uv_values_uu(dp, U))
     for t in dp.lowrank:
         UtB = U.T @ t.B  # (r, s), MXU
@@ -77,6 +79,8 @@ def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
 
 def A_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     """𝒜((UVᵀ+VUᵀ)/2) -> (m+1,) (reference: src/coreop.jl:54-70)."""
+    if getattr(dp, "fn_A_uv", None) is not None:  # external-model adapter
+        return dp.fn_A_uv(U, V)
     vals = _reduce(dp, uv_values_uv(dp, U, V))
     for t in dp.lowrank:
         UtB = U.T @ t.B
@@ -93,6 +97,8 @@ def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
     One concatenated [R|D] gather pair serves both products — 2 row
     gathers instead of the 6 a naive A_uv + A_uu would issue.
     """
+    if getattr(dp, "fn_A_uv", None) is not None:  # external-model adapter
+        return 2.0 * dp.fn_A_uv(R, D), dp.fn_A_uu(D)
     r = R.shape[1]
     RD = jnp.concatenate([R, D], axis=1)            # (n_pad, 2r)
     Gr = jnp.take(RD, dp.agg_rows, axis=0)

@@ -32,7 +32,7 @@ def _y_and_s(dp: DeviceProblem, lam, sigma, vio_raw):
     m = dp.m
     y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
     y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=lam.dtype)])
-    if dp.all_cons_diagonal:
+    if getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
         return y_full, jnp.zeros((1,), dtype=lam.dtype)
     return y_full, assemble_s_tri(dp, y_full)
 
@@ -81,7 +81,10 @@ def dimacs_errors(dp: DeviceProblem, R, lam, vio_raw, obj, key) -> np.ndarray:
 
     # S with y = [-λ; 1] (reference: copy2y_λ!, src/coreop.jl:238-246)
     y_full = jnp.concatenate([-lam, jnp.ones((1,), dtype=lam.dtype)])
-    s_tri = assemble_s_tri(dp, y_full)
+    if getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
+        s_tri = jnp.zeros((1,), dtype=lam.dtype)
+    else:
+        s_tri = assemble_s_tri(dp, y_full)
     q_max = bucket_q_max(min(100, dp.n))
     alpha, beta, k_eff = lanczos_alpha_beta_reorth(
         dp, s_tri, y_full, key, q_max=q_max

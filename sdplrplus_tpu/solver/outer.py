@@ -44,7 +44,7 @@ def _dual_ascent(dp: DeviceProblem, lam, sigma, vio_raw):
     return jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[: dp.m])
 
 
-def _init_vars(prob: SDPProblem, cp: CompiledProblem, r: int,
+def _init_vars(prob, dp, r: int,
                config: SolverConfig, dtype, rng: np.random.Generator):
     """Fresh (R0 padded, λ0) — random uniform(-1, 1) like the reference
     (src/structs.jl:237) or via a user init_func (src/structs.jl:231-234).
@@ -52,7 +52,7 @@ def _init_vars(prob: SDPProblem, cp: CompiledProblem, r: int,
     init_func(problem, r, *init_args) must return (R0 [n, r], lam0 [m]);
     note the factor is n×r here (the reference passes/returns the r×n
     transpose — on TPU the n axis is the sharded leading axis)."""
-    n, m = cp.n, cp.m
+    n, m = dp.n, dp.m
     if config.init_func is not None:
         R0, lam0 = config.init_func(prob, r, *config.init_args)
         R0 = np.asarray(R0, dtype=np.float64)
@@ -60,11 +60,13 @@ def _init_vars(prob: SDPProblem, cp: CompiledProblem, r: int,
             R0 = R0.T
         if R0.shape != (n, r):
             raise ValueError(f"init_func returned R0 of shape {R0.shape}, want ({n},{r})")
-        lam0 = np.minimum(np.asarray(lam0, dtype=np.float64).reshape(-1), cp.lam_ub)
+        lam0 = np.minimum(
+            np.asarray(lam0, dtype=np.float64).reshape(-1), np.asarray(dp.lam_ub)
+        )
     else:
         R0 = rng.uniform(-1.0, 1.0, size=(n, r))
         lam0 = np.zeros(m)
-    Rp = np.zeros((cp.n_pad, r))
+    Rp = np.zeros((dp.n_pad, r))
     Rp[:n] = R0
     return jnp.asarray(Rp, dtype=dtype), jnp.asarray(lam0, dtype=dtype)
 
@@ -107,9 +109,9 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
 
     if config.profile_dir is not None:
         with jax.profiler.trace(config.profile_dir):
-            result = _solve(prob, cp, dp, r, config, dtype)
+            result = _solve(prob, dp, r, config, dtype)
     else:
-        result = _solve(prob, cp, dp, r, config, dtype)
+        result = _solve(prob, dp, r, config, dtype)
     result["preprocess_time"] = preprocess_time
     result["totaltime"] += preprocess_time
 
@@ -118,16 +120,15 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
     return result
 
 
-def _solve(prob: SDPProblem, cp: CompiledProblem, dp: DeviceProblem,
-           r: int, config: SolverConfig, dtype) -> dict:
-    n, m = cp.n, cp.m
+def _solve(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
+    n, m = dp.n, dp.m
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)
 
     starttime = time.time()
     lastprint = starttime
 
-    R, lam = _init_vars(prob, cp, r, config, dtype, rng)
+    R, lam = _init_vars(prob, dp, r, config, dtype, rng)
     R0_np, lam0_np = np.asarray(R[:n]), np.asarray(lam)
     sigma = float(config.sigma0)
 
@@ -137,7 +138,7 @@ def _solve(prob: SDPProblem, cp: CompiledProblem, dp: DeviceProblem,
     ptol_rel = config.ptol_mode == "relative"
     stag_tol = _stagnation_tol(config, dtype)
 
-    lbfgs = lbfgs_init(k, cp.n_pad, r, dtype)
+    lbfgs = lbfgs_init(k, dp.n_pad, r, dtype)
 
     cur_gtol = max(1.0 / sigma, config.gtol)
     cur_ptol = max(1.0 / sigma**0.1, config.ptol)
@@ -263,11 +264,11 @@ def _solve(prob: SDPProblem, cp: CompiledProblem, dp: DeviceProblem,
         # ---- rank doubling (reference: src/sdplr.jl:372-386)
         if rank_double:
             r = next_rank(r, n, m)
-            R, lam = _init_vars(prob, cp, r, config, dtype, rng)
+            R, lam = _init_vars(prob, dp, r, config, dtype, rng)
             sigma = float(config.sigma0)
             cur_ptol = 1.0 / sigma**0.1
             cur_gtol = 1.0 / sigma
-            lbfgs = lbfgs_init(k, cp.n_pad, r, dtype)
+            lbfgs = lbfgs_init(k, dp.n_pad, r, dtype)
             min_duality_gap = 1e20
             max_dual_value = -1e20
             rankupd_cnt = config.rankupd_tol
@@ -357,3 +358,18 @@ def _solve(prob: SDPProblem, cp: CompiledProblem, dp: DeviceProblem,
         "timed_out": timed_out,
         "dtype": str(jnp.dtype(dtype)),
     }
+
+
+def solve_model(model, r: int, config: Optional[SolverConfig] = None,
+                **kwargs) -> dict:
+    """Run the solver on an external-model adapter (adapter.CustomModel) —
+    the analog of the reference's SolverCore.solve! path
+    (reference: src/lowrankopt.jl:33-53)."""
+    cfg = (config or SolverConfig()).copy_with(**kwargs)
+    if cfg.printlevel > 0:
+        print_heading(True)
+    result = _solve(model, model, r, cfg, model.dtype)
+    result["preprocess_time"] = 0.0
+    if cfg.printlevel > 0:
+        print_heading(False)
+    return result

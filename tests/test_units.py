@@ -149,3 +149,25 @@ def test_symlowrank_norm():
         M = SymLowRank(B, d)
         dense = (B * d) @ B.T
         assert abs(M.norm_fro() - np.linalg.norm(dense)) < 1e-9
+
+
+# ---------------------------------------------------------------- adapter
+def test_custom_model_adapter():
+    """External-model adapter (reference: src/lowrankopt.jl analog): solve
+    K2 maxcut through dense user-supplied operators."""
+    import scipy.sparse as sp
+    from sdplrplus_tpu.adapter import dense_model
+    from sdplrplus_tpu.solver.outer import solve_model
+
+    A = np.array([[0.0, 1.0], [1.0, 0.0]])
+    d = A.sum(axis=1)
+    C = -0.25 * (np.diag(d) - A)
+    As = [np.outer(e, e) for e in np.eye(2)]
+    b = np.ones(2)
+    model = dense_model(C, As, b)
+    res = solve_model(
+        model, 1,
+        fprec=0.0, gtol=1e-8, objtol=1e-8, ptol=1e-8,
+        prior_trace_bound=2.0, printlevel=0,
+    )
+    assert abs(res["obj"] - (-1.0)) < 1e-6
