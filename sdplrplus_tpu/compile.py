@@ -95,6 +95,8 @@ class CompiledProblem:
     # dense P-aligned rows and their forward reduce is a dense matvec.
     con_width: int
     con_pos: np.ndarray       # (m, K) -> index into the (P_pad,) uv array
+    con_rows: np.ndarray      # (m, K) -> row index of the entry (for SPMD)
+    con_cols: np.ndarray      # (m, K) -> col index of the entry
     con_val_two: np.ndarray   # (m, K)
     wide_gids: Tuple[int, ...]       # global ids of wide constraints
     wide_val_two: np.ndarray  # (n_wide, P_pad)
@@ -321,6 +323,8 @@ def compile_problem(
         c_val_two=c_val_two,
         con_width=K,
         con_pos=con_pos.astype(INDEX_DTYPE),
+        con_rows=agg_rows[np.minimum(con_pos, P_pad - 1)].astype(INDEX_DTYPE),
+        con_cols=agg_cols[np.minimum(con_pos, P_pad - 1)].astype(INDEX_DTYPE),
         con_val_two=con_val_two,
         wide_gids=wide_gids,
         wide_val_two=wide_val_two,

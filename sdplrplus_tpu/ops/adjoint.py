@@ -25,7 +25,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from .device import DeviceProblem
+from .forward import _full, _psum
 
 
 _WIDE = 8  # lane width for widened 1-D lookup tables
@@ -37,11 +40,12 @@ def _widen(v: jax.Array) -> jax.Array:
 
 def diag_weights(dp: DeviceProblem, y_full: jax.Array) -> jax.Array:
     """Diagonal contribution of the sparse constraints to S:
-    d[i] = Σⱼ diag_w[i,j]·y[diag_cid[i,j]] — an (n_pad, Jd) widened gather.
+    d[i] = Σⱼ diag_w[i,j]·y[diag_cid[i,j]] — an (n_loc, Jd) widened gather.
     Padding slots point at cid m with weight 0."""
     y_w = _widen(y_full)
+    n_loc = dp.diag_cid.shape[0]
     g = jnp.take(y_w, dp.diag_cid.reshape(-1), axis=0)[:, 0]
-    g = g.reshape(dp.n_pad, dp.diag_width)
+    g = g.reshape(n_loc, dp.diag_width)
     return jnp.sum(dp.diag_w * g, axis=1)
 
 
@@ -76,28 +80,29 @@ def apply_S(
     """
     if getattr(dp, "fn_apply_S", None) is not None:  # external-model adapter
         return dp.fn_apply_S(y_full, X)
-    n_pad, W = dp.ell_cols.shape
-    Xg = jnp.take(X, dp.ell_cols.reshape(-1), axis=0).reshape(n_pad, W, -1)
+    n_loc, W = dp.ell_cols.shape
+    X_full = _full(dp, X)
+    Xg = jnp.take(X_full, dp.ell_cols.reshape(-1), axis=0).reshape(n_loc, W, -1)
     if dp.all_cons_diagonal:
         out = y_full[dp.m] * jnp.einsum("nw,nwr->nr", dp.cell_val, Xg)
         out = out + diag_weights(dp, y_full)[:, None] * X
         if dp.has_tail:
-            contrib = dp.tail_cval[:, None] * jnp.take(X, dp.tail_cols, axis=0)
+            contrib = dp.tail_cval[:, None] * jnp.take(X_full, dp.tail_cols, axis=0)
             out = out + y_full[dp.m] * jax.ops.segment_sum(
-                contrib, dp.tail_rows, num_segments=dp.n_pad
+                contrib, dp.tail_rows, num_segments=n_loc
             )
     else:
         s_w = _widen(s_tri)
-        s_ell = jnp.take(s_w, dp.ell_tri.reshape(-1), axis=0)[:, 0].reshape(n_pad, W)
+        s_ell = jnp.take(s_w, dp.ell_tri.reshape(-1), axis=0)[:, 0].reshape(n_loc, W)
         out = jnp.einsum("nw,nwr->nr", s_ell, Xg)
         if dp.has_tail:
             tv = jnp.take(s_w, dp.tail_tri, axis=0)[:, 0]  # (T,)
-            contrib = tv[:, None] * jnp.take(X, dp.tail_cols, axis=0)
+            contrib = tv[:, None] * jnp.take(X_full, dp.tail_cols, axis=0)
             out = out + jax.ops.segment_sum(
-                contrib, dp.tail_rows, num_segments=dp.n_pad
+                contrib, dp.tail_rows, num_segments=n_loc
             )
     for t in dp.lowrank:
-        BtX = t.B.T @ X                           # (s, r), MXU
+        BtX = _psum(t.B.T @ X, dp)                # (s, r), MXU (+psum)
         out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
     return out
 

@@ -33,6 +33,8 @@ class DeviceProblem:
     c_val_one: jax.Array
     c_val_two: jax.Array
     con_pos: jax.Array
+    con_rows: jax.Array
+    con_cols: jax.Array
     con_val_two: jax.Array
     wide_val_two: jax.Array
     pos_cid: jax.Array
@@ -62,6 +64,10 @@ class DeviceProblem:
     diag_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     all_cons_diagonal: bool = dataclasses.field(metadata=dict(static=True), default=False)
     wide_gids: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    # when set, the ops run inside shard_map over this mesh axis: factors
+    # and nnz arrays are device-local shards; scalar reductions psum and
+    # the factor row support is all-gathered (SURVEY §5 collectives)
+    spmd_axis: str = dataclasses.field(metadata=dict(static=True), default=None)
     has_tail: bool = dataclasses.field(metadata=dict(static=True), default=False)
     has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
     normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -86,6 +92,8 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         c_val_one=f(cp.c_val_one),
         c_val_two=f(cp.c_val_two),
         con_pos=i(cp.con_pos),
+        con_rows=i(cp.con_rows),
+        con_cols=i(cp.con_cols),
         con_val_two=f(cp.con_val_two),
         wide_val_two=f(cp.wide_val_two),
         pos_cid=i(cp.pos_cid),

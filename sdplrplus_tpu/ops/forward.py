@@ -26,9 +26,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from .device import DeviceProblem
 
 _WIDE = 8  # lane width for widened 1-D lookup tables
+
+
+def _full(dp: DeviceProblem, U: jax.Array) -> jax.Array:
+    """Under shard_map, assemble the full factor from row shards (the
+    column-support all-gather of SURVEY §5); identity otherwise."""
+    if dp.spmd_axis is not None:
+        return lax.all_gather(U, dp.spmd_axis, axis=0, tiled=True)
+    return U
+
+
+def _psum(x, dp: DeviceProblem):
+    return lax.psum(x, dp.spmd_axis) if dp.spmd_axis is not None else x
 
 
 def _widen(v: jax.Array) -> jax.Array:
@@ -37,8 +51,14 @@ def _widen(v: jax.Array) -> jax.Array:
 
 
 def _reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
-    """uv values at the aggregate pattern -> (m+1,) constraint values."""
-    obj = jnp.dot(dp.c_val_two, uv)
+    """uv values at the aggregate pattern -> (m+1,) constraint values.
+
+    Under shard_map ``uv`` is the local nnz shard: the objective dot is a
+    partial reduced by psum, and the constraint/wide lookups read the
+    all-gathered uv (constraint index maps are replicated there)."""
+    obj = _psum(jnp.dot(dp.c_val_two, uv), dp)
+    if dp.spmd_axis is not None:
+        uv = lax.all_gather(uv, dp.spmd_axis, axis=0, tiled=True)
     uv_w = _widen(uv)
     g = jnp.take(uv_w, dp.con_pos.reshape(-1), axis=0)[:, 0]
     cons = jnp.sum(dp.con_val_two * g.reshape(dp.m, dp.con_width), axis=1)
@@ -51,6 +71,7 @@ def _reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
 
 def uv_values_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """(UUᵀ) sampled at the aggregate triu pattern -> (P_pad,)."""
+    U = _full(dp, U)
     Ur = jnp.take(U, dp.agg_rows, axis=0)
     Uc = jnp.take(U, dp.agg_cols, axis=0)
     return jnp.sum(Ur * Uc, axis=1)
@@ -58,8 +79,9 @@ def uv_values_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
 
 def uv_values_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     """((UVᵀ+VUᵀ)/2) sampled at the aggregate triu pattern -> (P_pad,)."""
-    UVr = jnp.take(jnp.concatenate([U, V], axis=1), dp.agg_rows, axis=0)
-    UVc = jnp.take(jnp.concatenate([U, V], axis=1), dp.agg_cols, axis=0)
+    UV = _full(dp, jnp.concatenate([U, V], axis=1))
+    UVr = jnp.take(UV, dp.agg_rows, axis=0)
+    UVc = jnp.take(UV, dp.agg_cols, axis=0)
     r = U.shape[1]
     Ur, Vr = UVr[:, :r], UVr[:, r:]
     Uc, Vc = UVc[:, :r], UVc[:, r:]
@@ -72,7 +94,7 @@ def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
         return dp.fn_A_uu(U)
     vals = _reduce(dp, uv_values_uu(dp, U))
     for t in dp.lowrank:
-        UtB = U.T @ t.B  # (r, s), MXU
+        UtB = _psum(U.T @ t.B, dp)  # (r, s), MXU (+psum over row shards)
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * UtB, axis=0)))
     return vals
 
@@ -83,8 +105,8 @@ def A_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
         return dp.fn_A_uv(U, V)
     vals = _reduce(dp, uv_values_uv(dp, U, V))
     for t in dp.lowrank:
-        UtB = U.T @ t.B
-        VtB = V.T @ t.B
+        UtB = _psum(U.T @ t.B, dp)
+        VtB = _psum(V.T @ t.B, dp)
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * VtB, axis=0)))
     return vals
 
@@ -100,7 +122,7 @@ def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
     if getattr(dp, "fn_A_uv", None) is not None:  # external-model adapter
         return 2.0 * dp.fn_A_uv(R, D), dp.fn_A_uu(D)
     r = R.shape[1]
-    RD = jnp.concatenate([R, D], axis=1)            # (n_pad, 2r)
+    RD = _full(dp, jnp.concatenate([R, D], axis=1))  # (n_pad, 2r)
     Gr = jnp.take(RD, dp.agg_rows, axis=0)
     Gc = jnp.take(RD, dp.agg_cols, axis=0)
     Rr, Dr = Gr[:, :r], Gr[:, r:]
@@ -111,8 +133,8 @@ def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
     A_RD = _reduce(dp, uv_RD)
     A_DD = _reduce(dp, uv_DD)
     if dp.lowrank:
-        RtB = {id(t): R.T @ t.B for t in dp.lowrank}
-        DtB = {id(t): D.T @ t.B for t in dp.lowrank}
+        RtB = {id(t): _psum(R.T @ t.B, dp) for t in dp.lowrank}
+        DtB = {id(t): _psum(D.T @ t.B, dp) for t in dp.lowrank}
         for t in dp.lowrank:
             rb, db = RtB[id(t)], DtB[id(t)]
             A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))

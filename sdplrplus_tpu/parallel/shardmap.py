@@ -1,0 +1,153 @@
+"""Explicit-collective SPMD: the inner loop under jax.shard_map.
+
+This is the hand-placed-collectives counterpart of the GSPMD path in
+``parallel/spmd.py``, implementing exactly the communication pattern
+SURVEY §5 derives from the reference's math:
+
+  * the factor R (and the line-search direction) is row-sharded; forward
+    sampling all-gathers its column support once per operator application,
+  * constraint values: per-shard partial reductions -> psum,
+  * scalar dots/norms in L-BFGS, line search and the stagnation test -> psum,
+  * the adjoint SpMM consumes the all-gathered factor and produces its
+    local output row block with zero further communication.
+
+The ops themselves are the single-device kernels in ops/ — they switch
+into SPMD mode through the static ``spmd_axis`` field of DeviceProblem,
+so the device-local program is identical to the single-chip one modulo
+the collectives. Equivalence vs a single device is tested on an 8-device
+CPU mesh (tests/test_shardmap.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compile import CompiledProblem
+from ..ops.device import DeviceLowRank, DeviceProblem, to_device
+from ..solver.inner import inner_chunk_impl
+from ..solver.lbfgs import LBFGSState
+
+AXIS = "x"
+
+
+def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
+    """Device-local problem shards + the matching PartitionSpec pytree.
+
+    Layout: nnz arrays (aggregate pattern, C values) and row-blocked
+    arrays (ELL, diag map, low-rank B) sharded; constraint-level index
+    maps and the m-length vectors replicated. Returns (dp_spmd, specs).
+    """
+    nd = int(np.prod(mesh.devices.shape))
+    if cp.tail_rows.shape[0] > 0:
+        raise NotImplementedError(
+            "shard_map path requires an ELL-only layout (no COO tail); "
+            "recompile with a larger ell_width."
+        )
+    for dim, name in [(cp.n_pad, "n_pad"), (cp.P_pad, "P_pad")]:
+        if dim % nd != 0:
+            raise ValueError(f"{name}={dim} not divisible by {nd} devices")
+
+    dp = to_device(cp, dtype)
+    dp = dataclasses.replace(dp, spmd_axis=AXIS)
+
+    nnz = P(AXIS)
+    row = P(AXIS, None)
+    rep = P()
+    specs = DeviceProblem(
+        agg_rows=nnz,
+        agg_cols=nnz,
+        c_val_one=rep,      # assemble_s_tri runs replicated (general path)
+        c_val_two=nnz,      # objective partial dot is nnz-sharded
+        con_pos=rep,
+        con_rows=rep,
+        con_cols=rep,
+        con_val_two=rep,
+        wide_val_two=P(None, AXIS),
+        pos_cid=rep,
+        pos_val=rep,
+        cell_val=row,
+        tail_cval=rep,
+        diag_cid=row,
+        diag_w=row,
+        ell_cols=row,
+        ell_tri=row,
+        tail_rows=rep,
+        tail_cols=rep,
+        tail_tri=rep,
+        b=rep,
+        lam_ub=rep,
+        vio_lb=rep,
+        lowrank=tuple(
+            DeviceLowRank(B=row, d=rep, gid=t.gid) for t in dp.lowrank
+        ),
+        n=dp.n,
+        m=dp.m,
+        n_pad=dp.n_pad,
+        P_pad=dp.P_pad,
+        ell_width=dp.ell_width,
+        con_width=dp.con_width,
+        pos_width=dp.pos_width,
+        diag_width=dp.diag_width,
+        all_cons_diagonal=dp.all_cons_diagonal,
+        wide_gids=dp.wide_gids,
+        has_tail=dp.has_tail,
+        has_inequalities=dp.has_inequalities,
+        normC=dp.normC,
+        normb=dp.normb,
+        spmd_axis=AXIS,
+    )
+
+    # place the data according to the specs
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    dp_placed = jax.tree_util.tree_map(put, dp, specs)
+    return dp_placed, specs
+
+
+def make_shardmap_inner(mesh: Mesh, specs: DeviceProblem, *, k: int,
+                        use_armijo: bool, gtol_relative: bool = True,
+                        ptol_relative: bool = True):
+    """shard_map-wrapped inner_chunk with explicit collectives.
+
+    Returns f(dp, R, G, y_full, vio_raw, L, grad_norm, lbfgs, lam, sigma,
+    cur_gtol, stag_tol, max_steps) -> (carry, vio_norm) where R/G/lbfgs
+    histories are row-sharded and everything else replicated.
+    """
+    row = P(AXIS, None)
+    rep = P()
+    lbfgs_spec = LBFGSState(
+        s_hist=P(None, AXIS, None),
+        y_hist=P(None, AXIS, None),
+        rho=rep,
+        head=rep,
+    )
+    from ..solver.inner import InnerCarry
+
+    carry_spec = InnerCarry(
+        R=row, G=row, y_full=rep, vio_raw=rep, L_val=rep, grad_norm=rep,
+        lbfgs=lbfgs_spec, steps=rep, stagnated=rep,
+    )
+    in_specs = (
+        specs, row, row, rep, rep, rep, rep, lbfgs_spec,
+        rep, rep, rep, rep, rep,
+    )
+    out_specs = (carry_spec, rep)
+
+    fn = functools.partial(
+        inner_chunk_impl,
+        k=k, use_armijo=use_armijo,
+        gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+    )
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -72,6 +72,8 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         c_val_one=put(dp.c_val_one, s_nnz),
         c_val_two=put(dp.c_val_two, s_nnz),
         con_pos=put(dp.con_pos, con_sh),
+        con_rows=put(dp.con_rows, con_sh),
+        con_cols=put(dp.con_cols, con_sh),
         con_val_two=put(dp.con_val_two, con_sh),
         wide_val_two=put(dp.wide_val_two, NamedSharding(mesh, P(None, AXIS)) if dp.wide_val_two.shape[0] else s_rep),
         pos_cid=put(dp.pos_cid, s_row),

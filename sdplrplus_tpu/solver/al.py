@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.adjoint import gradient
 from ..ops.device import DeviceProblem
-from ..ops.forward import A_uu
+from ..ops.forward import A_uu, _psum
 
 
 def al_value(dp: DeviceProblem, R, lam, sigma):
@@ -38,7 +38,7 @@ def capped_vio(dp: DeviceProblem, vio_raw):
 
 
 def norms(dp: DeviceProblem, G, vio_raw, gtol_relative: bool, ptol_relative: bool):
-    grad_norm = jnp.linalg.norm(G.reshape(-1))
+    grad_norm = jnp.sqrt(_psum(jnp.sum(G * G), dp))
     if gtol_relative:
         grad_norm = grad_norm / dp.normC
     vio_norm = jnp.linalg.norm(capped_vio(dp, vio_raw))

@@ -43,11 +43,7 @@ class InnerCarry(NamedTuple):
     stagnated: jax.Array  # bool
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "use_armijo", "gtol_relative", "ptol_relative"),
-)
-def inner_chunk(
+def inner_chunk_impl(
     dp: DeviceProblem,
     R,
     G,
@@ -71,6 +67,7 @@ def inner_chunk(
 
     Returns (carry, vio_norm).
     """
+    axis = dp.spmd_axis
     dtype = R.dtype
     gscale = dp.normC if gtol_relative else 1.0
     pscale = dp.normb if ptol_relative else 1.0
@@ -84,8 +81,10 @@ def inner_chunk(
     def body(c: InnerCarry) -> InnerCarry:
         # direction + descent fallback (reference: src/sdplr.jl:196-205)
         with jax.named_scope("lbfgs_direction"):
-            direction = lbfgs_direction(c.lbfgs, c.G, k)
+            direction = lbfgs_direction(c.lbfgs, c.G, k, spmd_axis=axis)
             descent = jnp.vdot(direction, c.G)
+            if axis is not None:
+                descent = lax.psum(descent, axis)
             bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
             direction = jnp.where(bad, -c.G, direction)
 
@@ -104,7 +103,10 @@ def inner_chunk(
         with jax.named_scope("gradient"):
             R_new = c.R + alpha * direction
             G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
-            gnorm = jnp.linalg.norm(G_new.reshape(-1)) / gscale
+            gsq = jnp.sum(G_new * G_new)
+            if axis is not None:
+                gsq = lax.psum(gsq, axis)
+            gnorm = jnp.sqrt(gsq) / gscale
 
         # fprec stagnation (reference: src/sdplr.jl:236-241)
         rel_delta = (c.L_val - L_new) / jnp.maximum(
@@ -114,7 +116,9 @@ def inner_chunk(
 
         # L-BFGS update, skipped on the stagnation exit
         if k > 0:
-            pushed = lbfgs_push(c.lbfgs, alpha, direction, c.G, G_new, k)
+            pushed = lbfgs_push(
+                c.lbfgs, alpha, direction, c.G, G_new, k, spmd_axis=axis
+            )
             new_lbfgs = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(stagnated, a, b), c.lbfgs, pushed
             )
@@ -147,3 +151,9 @@ def inner_chunk(
     out = lax.while_loop(cond, body, init)
     vio_norm = jnp.linalg.norm(capped_vio(dp, out.vio_raw)) / pscale
     return out, vio_norm
+
+
+inner_chunk = functools.partial(
+    jax.jit,
+    static_argnames=("k", "use_armijo", "gtol_relative", "ptol_relative"),
+)(inner_chunk_impl)

@@ -48,16 +48,23 @@ def lbfgs_clear(state: LBFGSState) -> LBFGSState:
     )
 
 
-def lbfgs_direction(state: LBFGSState, G: jax.Array, k: int) -> jax.Array:
+def lbfgs_direction(
+    state: LBFGSState, G: jax.Array, k: int, spmd_axis=None
+) -> jax.Array:
     """Two-loop recursion; returns the *negated* direction -H·G
-    (reference: src/lbfgs.jl:77-124 with negate=true)."""
+    (reference: src/lbfgs.jl:77-124 with negate=true). Under shard_map
+    the history is row-sharded and every dot psums (SURVEY §5)."""
     if k == 0:
         return -G
+
+    def dot(a, b):
+        d = jnp.vdot(a, b)
+        return lax.psum(d, spmd_axis) if spmd_axis is not None else d
 
     def bwd(i, carry):
         q, a_vals = carry
         j = jnp.mod(state.head - i, k)
-        a = state.rho[j] * jnp.vdot(state.s_hist[j], q)
+        a = state.rho[j] * dot(state.s_hist[j], q)
         q = q - a * state.y_hist[j]
         return q, a_vals.at[j].set(a)
 
@@ -66,7 +73,7 @@ def lbfgs_direction(state: LBFGSState, G: jax.Array, k: int) -> jax.Array:
 
     def fwd(i, q):
         j = jnp.mod(state.head + 1 + i, k)
-        b = state.rho[j] * jnp.vdot(state.y_hist[j], q)
+        b = state.rho[j] * dot(state.y_hist[j], q)
         q = q + (a_vals[j] - b) * state.s_hist[j]
         return q
 
@@ -75,7 +82,7 @@ def lbfgs_direction(state: LBFGSState, G: jax.Array, k: int) -> jax.Array:
 
 
 def lbfgs_push(
-    state: LBFGSState, alpha, direction, G_old, G_new, k: int
+    state: LBFGSState, alpha, direction, G_old, G_new, k: int, spmd_axis=None
 ) -> LBFGSState:
     """Insert s = α·D, y = G_new - G_old, ρ = 1/⟨y, s⟩ at the next ring slot
     (reference: src/lbfgs.jl:120-124,129-148, restructured functionally —
@@ -86,7 +93,10 @@ def lbfgs_push(
     j = jnp.mod(state.head + 1, k)
     s = alpha * direction
     y = G_new - G_old
-    rho_j = 1.0 / jnp.vdot(y, s)
+    ys = jnp.vdot(y, s)
+    if spmd_axis is not None:
+        ys = lax.psum(ys, spmd_axis)
+    rho_j = 1.0 / ys
     return LBFGSState(
         s_hist=state.s_hist.at[j].set(s),
         y_hist=state.y_hist.at[j].set(y),

@@ -97,3 +97,15 @@ def postprocess_graph(A: sp.spmatrix, largest_component: bool = False) -> sp.csr
 def gset_path(name: str, problem: str = "MaxCut",
               root: str = "/root/reference/exps/data") -> str:
     return os.path.join(root, problem, f"{name}.mat")
+
+
+def pad_to_even(A: sp.spmatrix) -> sp.csr_matrix:
+    """Append an isolated dummy node when n is odd — needed by the
+    minimum-bisection benchmark (reference: exps/data_preprocess.jl
+    dummy-node padding)."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if n % 2 == 0:
+        return A
+    return sp.bmat([[A, sp.csr_matrix((n, 1))],
+                    [sp.csr_matrix((1, n)), sp.csr_matrix((1, 1))]]).tocsr()
