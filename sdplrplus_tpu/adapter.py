@@ -40,6 +40,7 @@ class CustomModel:
     has_inequalities: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    spmd_axis: str = dataclasses.field(metadata=dict(static=True), default=None)
     fn_A_uu: Callable = dataclasses.field(
         metadata=dict(static=True), default=None
     )

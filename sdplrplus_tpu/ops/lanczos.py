@@ -30,8 +30,7 @@ def _row_mask(dp: DeviceProblem, dtype):
     return (idx < dp.n).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_max",))
-def lanczos_alpha_beta(
+def lanczos_alpha_beta_impl(
     dp: DeviceProblem, s_tri, y_full, key, q, *, q_max: int
 ):
     """Run min(q, q_max) Lanczos iterations on S; returns (alpha, beta, k_eff).
@@ -76,6 +75,11 @@ def lanczos_alpha_beta(
     )
     _, _, _, alpha, beta, _, k_eff = lax.fori_loop(0, q_max, body, init)
     return alpha, beta, k_eff
+
+
+lanczos_alpha_beta = functools.partial(jax.jit, static_argnames=("q_max",))(
+    lanczos_alpha_beta_impl
+)
 
 
 @functools.partial(jax.jit, static_argnames=("q_max",))
@@ -162,3 +166,51 @@ def bucket_q_max(q: int, base: int = 64) -> int:
     while q_max < q:
         q_max *= 2
     return q_max
+
+
+def tridiag_min_eig_device(alpha, beta, k_eff, iters: int = 80):
+    """Smallest eigenvalue of the leading k_eff block of the symmetric
+    tridiagonal (alpha, beta) — jittable Sturm-sequence bisection, the
+    on-device replacement for the host eigensolver so the whole major
+    iteration (dual bound included) can run inside one compiled program.
+
+    The Sturm count (number of eigenvalues < x) uses the standard LDLᵀ
+    recurrence d_i = (a_i - x) - b_{i-1}²/d_{i-1}; rows past k_eff are
+    masked out. ~iters bisection steps give ~1e-12 relative accuracy.
+    """
+    q_max = alpha.shape[0]
+    dtype = alpha.dtype
+    idx = jnp.arange(q_max)
+    active = idx < k_eff
+    a = jnp.where(active, alpha, 0.0)
+    b2 = jnp.where(idx + 1 < k_eff, beta * beta, 0.0)  # b2[i] couples i,i+1
+
+    # Gershgorin bounds over active rows
+    babs = jnp.where(idx + 1 < k_eff, jnp.abs(beta), 0.0)
+    rad = babs + jnp.concatenate([jnp.zeros((1,), dtype), babs[:-1]])
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+    lo = jnp.min(jnp.where(active, a - rad, big))
+    hi = jnp.max(jnp.where(active, a + rad, -big))
+    hi = jnp.maximum(hi, lo + jnp.finfo(dtype).eps)
+
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny * 4, dtype)
+
+    def count_below(x):
+        def body(i, carry):
+            d_prev, cnt = carry
+            d = (a[i] - x) - jnp.where(i > 0, b2[i - 1], 0.0) / d_prev
+            d = jnp.where(jnp.abs(d) < tiny, -tiny, d)
+            cnt = cnt + jnp.where(jnp.logical_and(active[i], d < 0), 1, 0)
+            d = jnp.where(active[i], d, jnp.asarray(1.0, dtype))
+            return d, cnt
+        _, cnt = lax.fori_loop(0, q_max, body, (jnp.asarray(1.0, dtype), 0))
+        return cnt
+
+    def bisect(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        below = count_below(mid) >= 1
+        return jnp.where(below, lo, mid), jnp.where(below, mid, hi)
+
+    lo, hi = lax.fori_loop(0, iters, bisect, (lo, hi))
+    return 0.5 * (lo + hi)

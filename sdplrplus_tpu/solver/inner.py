@@ -43,6 +43,83 @@ class InnerCarry(NamedTuple):
     stagnated: jax.Array  # bool
 
 
+def inner_step(
+    dp: DeviceProblem,
+    c: InnerCarry,
+    lam,
+    sigma,
+    stag_tol,
+    *,
+    k: int,
+    use_armijo: bool,
+    gtol_relative: bool,
+) -> InnerCarry:
+    """One inner L-BFGS iteration (reference: src/sdplr.jl:196-246).
+
+    λ/σ are explicit arguments (not closed over) so the fused outer driver
+    (solver/major.py) can carry them through the same step function."""
+    axis = dp.spmd_axis
+    gscale = dp.normC if gtol_relative else 1.0
+
+    # direction + descent fallback (reference: src/sdplr.jl:196-205)
+    with jax.named_scope("lbfgs_direction"):
+        direction = lbfgs_direction(c.lbfgs, c.G, k, spmd_axis=axis)
+        descent = jnp.vdot(direction, c.G)
+        if axis is not None:
+            descent = lax.psum(descent, axis)
+        bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
+        direction = jnp.where(bad, -c.G, direction)
+
+    # line search (reference: src/sdplr.jl:210-215)
+    with jax.named_scope("linesearch"):
+        if use_armijo:
+            alpha, L_new, vio_new = armijo_linesearch(
+                dp, c.R, direction, c.vio_raw, lam, sigma, c.y_full
+            )
+        else:
+            alpha, L_new, vio_new = exact_linesearch(
+                dp, c.R, direction, c.vio_raw, lam, sigma
+            )
+
+    # step + gradient (reference: src/sdplr.jl:219-223)
+    with jax.named_scope("gradient"):
+        R_new = c.R + alpha * direction
+        G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
+        gsq = jnp.sum(G_new * G_new)
+        if axis is not None:
+            gsq = lax.psum(gsq, axis)
+        gnorm = jnp.sqrt(gsq) / gscale
+
+    # fprec stagnation (reference: src/sdplr.jl:236-241)
+    rel_delta = (c.L_val - L_new) / jnp.maximum(
+        1.0, jnp.maximum(jnp.abs(L_new), jnp.abs(c.L_val))
+    )
+    stagnated = rel_delta < stag_tol
+
+    # L-BFGS update, skipped on the stagnation exit
+    if k > 0:
+        pushed = lbfgs_push(
+            c.lbfgs, alpha, direction, c.G, G_new, k, spmd_axis=axis
+        )
+        new_lbfgs = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stagnated, a, b), c.lbfgs, pushed
+        )
+    else:
+        new_lbfgs = c.lbfgs
+
+    return InnerCarry(
+        R=R_new,
+        G=G_new,
+        y_full=y_new,
+        vio_raw=vio_new,
+        L_val=L_new,
+        grad_norm=gnorm,
+        lbfgs=new_lbfgs,
+        steps=c.steps + 1,
+        stagnated=stagnated,
+    )
+
+
 def inner_chunk_impl(
     dp: DeviceProblem,
     R,
@@ -67,9 +144,6 @@ def inner_chunk_impl(
 
     Returns (carry, vio_norm).
     """
-    axis = dp.spmd_axis
-    dtype = R.dtype
-    gscale = dp.normC if gtol_relative else 1.0
     pscale = dp.normb if ptol_relative else 1.0
 
     def cond(c: InnerCarry):
@@ -79,62 +153,9 @@ def inner_chunk_impl(
         )
 
     def body(c: InnerCarry) -> InnerCarry:
-        # direction + descent fallback (reference: src/sdplr.jl:196-205)
-        with jax.named_scope("lbfgs_direction"):
-            direction = lbfgs_direction(c.lbfgs, c.G, k, spmd_axis=axis)
-            descent = jnp.vdot(direction, c.G)
-            if axis is not None:
-                descent = lax.psum(descent, axis)
-            bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
-            direction = jnp.where(bad, -c.G, direction)
-
-        # line search (reference: src/sdplr.jl:210-215)
-        with jax.named_scope("linesearch"):
-            if use_armijo:
-                alpha, L_new, vio_new = armijo_linesearch(
-                    dp, c.R, direction, c.vio_raw, lam, sigma, c.y_full
-                )
-            else:
-                alpha, L_new, vio_new = exact_linesearch(
-                    dp, c.R, direction, c.vio_raw, lam, sigma
-                )
-
-        # step + gradient (reference: src/sdplr.jl:219-223)
-        with jax.named_scope("gradient"):
-            R_new = c.R + alpha * direction
-            G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
-            gsq = jnp.sum(G_new * G_new)
-            if axis is not None:
-                gsq = lax.psum(gsq, axis)
-            gnorm = jnp.sqrt(gsq) / gscale
-
-        # fprec stagnation (reference: src/sdplr.jl:236-241)
-        rel_delta = (c.L_val - L_new) / jnp.maximum(
-            1.0, jnp.maximum(jnp.abs(L_new), jnp.abs(c.L_val))
-        )
-        stagnated = rel_delta < stag_tol
-
-        # L-BFGS update, skipped on the stagnation exit
-        if k > 0:
-            pushed = lbfgs_push(
-                c.lbfgs, alpha, direction, c.G, G_new, k, spmd_axis=axis
-            )
-            new_lbfgs = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(stagnated, a, b), c.lbfgs, pushed
-            )
-        else:
-            new_lbfgs = c.lbfgs
-
-        return InnerCarry(
-            R=R_new,
-            G=G_new,
-            y_full=y_new,
-            vio_raw=vio_new,
-            L_val=L_new,
-            grad_norm=gnorm,
-            lbfgs=new_lbfgs,
-            steps=c.steps + 1,
-            stagnated=stagnated,
+        return inner_step(
+            dp, c, lam, sigma, stag_tol,
+            k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
         )
 
     init = InnerCarry(

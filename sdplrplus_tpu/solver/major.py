@@ -1,0 +1,272 @@
+"""Fused on-device outer driver: many major AL iterations per dispatch.
+
+The host-driven outer loop (solver/outer.py, reference: src/sdplr.jl:185-393)
+costs ~3+ device dispatches per major iteration (inner chunk, dual bound,
+dual ascent, re-sync). Over the TPU tunnel each dispatch is ~100-200 ms of
+RTT, which dominates wall-clock once the per-iteration device work is small.
+This module fuses the ENTIRE major-iteration state machine into one
+lax.while_loop so a single dispatch advances the solve by a full step
+budget, crossing as many major-iteration boundaries as it reaches:
+
+  * inner L-BFGS steps (solver/inner.inner_step),
+  * the feasibility branch: vio ≤ cur_ptol → Lanczos dual bound with the
+    device Sturm tridiagonal eigensolver (ops/lanczos.tridiag_min_eig_device)
+    + best-λ/gap tracking + dual ascent + tolerance tightening
+    (reference: src/sdplr.jl:310-364),
+  * the infeasible branch: σ·=σfac, tolerance reset (src/sdplr.jl:365-370),
+  * rank-doubling counter → exits to the host, which re-specializes shapes
+    (src/sdplr.jl:372-386),
+  * L-BFGS clear + fg! re-sync at the boundary (src/sdplr.jl:389).
+
+The host keeps only: wall-clock limits, progress printing, checkpointing,
+and rank doubling (a shape change). Each body step is a two-way lax.cond —
+either one inner step or one major-boundary update — so resuming
+mid-inner-loop across dispatches is free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.adjoint import assemble_s_tri
+from ..ops.device import DeviceProblem
+from ..ops.forward import _psum
+from ..ops.lanczos import (
+    lanczos_alpha_beta_impl,
+    lanczos_alpha_beta_reorth_impl,
+    tridiag_min_eig_device,
+)
+from .al import al_value_grad, capped_vio
+from .inner import InnerCarry, inner_step
+from .lbfgs import lbfgs_clear
+
+BIG = 1e20
+
+
+class MajorCarry(NamedTuple):
+    ic: InnerCarry        # R, G, y_full, vio_raw, L_val, grad_norm, lbfgs,
+                          # steps (inner steps this dispatch), stagnated
+    lam: jax.Array        # (m,)
+    sigma: jax.Array      # scalar
+    cur_ptol: jax.Array   # scalar
+    cur_gtol: jax.Array   # scalar
+    key: jax.Array        # PRNG key for the Lanczos start vector
+    best_lam: jax.Array   # (m,) λ at the best dual value
+    max_dual: jax.Array   # scalar
+    min_gap: jax.Array    # scalar
+    last_gap: jax.Array   # scalar: duality gap at the last feasible boundary
+    rankupd_cnt: jax.Array  # int32 countdown to rank doubling
+    majoriters: jax.Array   # int32 major boundaries crossed this dispatch
+    converged: jax.Array    # bool
+    rank_double: jax.Array  # bool
+    feas_count: jax.Array   # int32 feasible boundaries (dual bounds computed)
+
+
+def _vio_norm(dp: DeviceProblem, vio_raw, pscale):
+    v = capped_vio(dp, vio_raw)
+    return jnp.sqrt(_psum(jnp.sum(v * v), dp)) / pscale
+
+
+def major_chunk_impl(
+    dp: DeviceProblem,
+    carry: MajorCarry,
+    budget,          # int32: inner-step budget this dispatch
+    major_budget,    # int32: remaining major iterations (maxmajoriter guard)
+    base_iter,       # int32: total inner iterations before this dispatch
+    stag_tol,
+    ptol_final,
+    gtol_final,
+    objtol,
+    sigmafac,
+    trace_bound,
+    rankupd_tol,     # int32
+    *,
+    k: int,
+    use_armijo: bool,
+    gtol_relative: bool,
+    ptol_relative: bool,
+    objtol_relative: bool,
+    q_max: int,
+    highprecision: bool,
+):
+    """Advance the solve by up to ``budget`` inner steps / ``major_budget``
+    major boundaries on device. Returns the updated MajorCarry."""
+    dtype = carry.ic.R.dtype
+    m = dp.m
+    pscale = dp.normb if ptol_relative else 1.0
+    logn = jnp.log(jnp.asarray(max(dp.n, 2), dtype))
+
+    def cond(c: MajorCarry):
+        return (
+            jnp.logical_not(c.converged)
+            & jnp.logical_not(c.rank_double)
+            & (c.ic.steps < budget)
+            & (c.majoriters < major_budget)
+        )
+
+    def inner_branch(c: MajorCarry) -> MajorCarry:
+        ic2 = inner_step(
+            dp, c.ic, c.lam, c.sigma, stag_tol,
+            k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
+        )
+        return c._replace(ic=ic2)
+
+    def dual_bound(c: MajorCarry, sub):
+        """Lanczos λ_min(S) + dual value (reference: src/coreop.jl:376-415),
+        entirely on device via Sturm bisection for the tridiagonal eig."""
+        y_head = -jnp.minimum(dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m])
+        y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=dtype)])
+        if getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
+            s_tri = jnp.zeros((1,), dtype=dtype)
+        else:
+            s_tri = assemble_s_tri(dp, y_full)
+        if highprecision:
+            alpha, beta, k_eff = lanczos_alpha_beta_reorth_impl(
+                dp, s_tri, y_full, sub, q_max=q_max
+            )
+        else:
+            # q = 2⌈max(iter,100)^0.5·log n⌉ (reference: src/coreop.jl:402)
+            it = jnp.maximum(base_iter + c.ic.steps, 100).astype(dtype)
+            q = 2.0 * jnp.ceil(jnp.sqrt(it) * logn)
+            q = jnp.clip(q, 1, min(q_max, dp.n - 1)).astype(jnp.int32)
+            alpha, beta, k_eff = lanczos_alpha_beta_impl(
+                dp, s_tri, y_full, sub, q, q_max=q_max
+            )
+        min_eig = tridiag_min_eig_device(alpha, beta, k_eff)
+        yb = jnp.dot(y_full[:m], dp.b)
+        dual = -yb + trace_bound * jnp.minimum(min_eig, 0.0)
+        return dual, y_head
+
+    def feasible_branch(c: MajorCarry, vio_norm):
+        """reference: src/sdplr.jl:310-364."""
+        key, sub = jax.random.split(c.key)
+        dual, y_head = dual_bound(c, sub)
+
+        better = dual > c.max_dual
+        best_lam = jnp.where(better, -y_head, c.best_lam)
+        max_dual = jnp.maximum(dual, c.max_dual)
+
+        obj = c.ic.vio_raw[m]
+        if objtol_relative:
+            denom = jnp.minimum(jnp.abs(obj), jnp.abs(max_dual))
+            gap = jnp.where(denom > 0, (obj - max_dual) / denom, jnp.inf)
+        else:
+            gap = obj - max_dual
+
+        strict = vio_norm <= ptol_final
+        conv = strict & (gap <= objtol)
+        # no-progress counter toward rank doubling (src/sdplr.jl:343-355)
+        no_prog = (c.min_gap - gap) < objtol
+        cnt = jnp.where(
+            strict & jnp.logical_not(conv),
+            jnp.where(no_prog, c.rankupd_cnt - 1, rankupd_tol),
+            c.rankupd_cnt,
+        )
+        min_gap = jnp.where(strict, jnp.minimum(c.min_gap, gap), c.min_gap)
+        rank_double = jnp.logical_and(cnt == 0, jnp.logical_not(conv))
+
+        # dual ascent + tighten (skipped entirely on convergence/rank exit)
+        live = jnp.logical_not(conv) & jnp.logical_not(rank_double)
+        lam2 = jnp.where(
+            live, jnp.minimum(dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m]),
+            c.lam,
+        )
+        ptol2 = jnp.where(live, c.cur_ptol / c.sigma**0.9, c.cur_ptol)
+        gtol2 = jnp.where(live, c.cur_gtol / c.sigma, c.cur_gtol)
+        return c._replace(
+            lam=lam2, cur_ptol=ptol2, cur_gtol=gtol2, key=key,
+            best_lam=best_lam, max_dual=max_dual, min_gap=min_gap,
+            last_gap=gap, rankupd_cnt=cnt, converged=conv,
+            rank_double=rank_double,
+            feas_count=c.feas_count + 1,
+        )
+
+    def infeasible_branch(c: MajorCarry, vio_norm):
+        """reference: src/sdplr.jl:365-370."""
+        sigma2 = c.sigma * sigmafac
+        return c._replace(
+            sigma=sigma2,
+            cur_ptol=1.0 / sigma2**jnp.asarray(0.1, dtype),
+            cur_gtol=1.0 / sigma2,
+        )
+
+    def major_branch(c: MajorCarry) -> MajorCarry:
+        vio_norm = _vio_norm(dp, c.ic.vio_raw, pscale)
+        c = lax.cond(
+            vio_norm <= c.cur_ptol, feasible_branch, infeasible_branch,
+            c, vio_norm,
+        )
+        # tolerance floors (src/sdplr.jl:280-281 equivalent in outer.py)
+        c = c._replace(
+            cur_ptol=jnp.maximum(c.cur_ptol, ptol_final),
+            cur_gtol=jnp.maximum(c.cur_gtol, gtol_final),
+            majoriters=c.majoriters + 1,
+        )
+
+        def resync(c: MajorCarry) -> MajorCarry:
+            # L-BFGS clear + fg! re-sync (src/sdplr.jl:383,389)
+            L, vio_raw, G, y_full, gnorm, _ = al_value_grad(
+                dp, c.ic.R, c.lam, c.sigma,
+                gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+            )
+            ic2 = InnerCarry(
+                R=c.ic.R, G=G, y_full=y_full, vio_raw=vio_raw, L_val=L,
+                grad_norm=gnorm, lbfgs=lbfgs_clear(c.ic.lbfgs),
+                steps=c.ic.steps, stagnated=jnp.zeros((), bool),
+            )
+            return c._replace(ic=ic2)
+
+        return lax.cond(
+            jnp.logical_or(c.converged, c.rank_double), lambda c: c, resync, c
+        )
+
+    def body(c: MajorCarry) -> MajorCarry:
+        inner_active = jnp.logical_and(
+            c.ic.grad_norm > c.cur_gtol, jnp.logical_not(c.ic.stagnated)
+        )
+        return lax.cond(inner_active, inner_branch, major_branch, c)
+
+    out = lax.while_loop(cond, body, carry)
+    return out
+
+
+major_chunk = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "use_armijo", "gtol_relative", "ptol_relative",
+        "objtol_relative", "q_max", "highprecision",
+    ),
+)(major_chunk_impl)
+
+
+def init_major_carry(dp: DeviceProblem, R, lam, sigma, cur_ptol, cur_gtol,
+                     key, lbfgs, rankupd_tol: int, *,
+                     gtol_relative: bool, ptol_relative: bool) -> MajorCarry:
+    """Build the initial device carry from host state (fresh or post-rank-
+    doubling). Runs one fg! to populate (L, vio, G)."""
+    dtype = R.dtype
+    L, vio_raw, G, y_full, gnorm, _ = al_value_grad(
+        dp, R, lam, sigma,
+        gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+    )
+    ic = InnerCarry(
+        R=R, G=G, y_full=y_full, vio_raw=vio_raw, L_val=L, grad_norm=gnorm,
+        lbfgs=lbfgs, steps=jnp.zeros((), jnp.int32),
+        stagnated=jnp.zeros((), bool),
+    )
+    f = lambda x: jnp.asarray(x, dtype)
+    return MajorCarry(
+        ic=ic, lam=lam, sigma=f(sigma), cur_ptol=f(cur_ptol),
+        cur_gtol=f(cur_gtol), key=key, best_lam=lam,
+        max_dual=f(-BIG), min_gap=f(BIG), last_gap=f(BIG),
+        rankupd_cnt=jnp.asarray(rankupd_tol, jnp.int32),
+        majoriters=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+        rank_double=jnp.zeros((), bool),
+        feas_count=jnp.zeros((), jnp.int32),
+    )

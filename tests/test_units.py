@@ -171,3 +171,23 @@ def test_custom_model_adapter():
         prior_trace_bound=2.0, printlevel=0,
     )
     assert abs(res["obj"] - (-1.0)) < 1e-6
+
+
+def test_sturm_tridiag_min_eig_device():
+    from sdplrplus_tpu.ops.lanczos import tridiag_min_eig_device
+
+    rng = np.random.default_rng(4)
+    for k in [1, 2, 5, 17, 40]:
+        q_max = 64
+        alpha = np.zeros(q_max)
+        beta = np.zeros(q_max)
+        alpha[:k] = rng.normal(size=k) * 3
+        beta[: max(k - 1, 0)] = rng.normal(size=max(k - 1, 0))
+        T = np.diag(alpha[:k]) + np.diag(beta[: k - 1], 1) + np.diag(beta[: k - 1], -1)
+        ref = np.linalg.eigvalsh(T)[0] if k > 0 else 0.0
+        est = float(
+            tridiag_min_eig_device(
+                jnp.asarray(alpha), jnp.asarray(beta), jnp.int32(k)
+            )
+        )
+        assert abs(est - ref) < 1e-10 * max(1.0, abs(ref)), (k, est, ref)
