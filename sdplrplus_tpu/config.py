@@ -60,6 +60,11 @@ class SolverConfig:
     dtype: Optional[str] = None
     seed: int = 0                 # PRNG seed for random R0 / Lanczos start
     inner_chunk: int = 1000       # device inner-loop steps per host sync
+    # fused outer driver (solver/major.py): the entire major-iteration state
+    # machine — inner loop, dual bound, dual ascent, σ/tolerance schedule —
+    # runs as ONE device program per dispatch, amortizing host<->device RTT
+    # over many major iterations. False falls back to the host-driven loop.
+    fused_outer: bool = True
     lanczos_tol_scale: float = 1.0
     # checkpoint/resume (SURVEY §5): serialize (R, λ, σ, r) at major-iter
     # boundaries; resume via utils.checkpoint.warm_start_from

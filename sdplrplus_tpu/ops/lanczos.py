@@ -82,8 +82,7 @@ lanczos_alpha_beta = functools.partial(jax.jit, static_argnames=("q_max",))(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("q_max",))
-def lanczos_alpha_beta_reorth(
+def lanczos_alpha_beta_reorth_impl(
     dp: DeviceProblem, s_tri, y_full, key, *, q_max: int
 ):
     """Lanczos with full reorthogonalization (high-precision path)."""
@@ -129,6 +128,11 @@ def lanczos_alpha_beta_reorth(
     out = lax.fori_loop(0, q_max, body, init)
     _, _, _, alpha, beta, _, _, k_eff = out
     return alpha, beta, k_eff
+
+
+lanczos_alpha_beta_reorth = functools.partial(
+    jax.jit, static_argnames=("q_max",)
+)(lanczos_alpha_beta_reorth_impl)
 
 
 def tridiag_min_eig(alpha: np.ndarray, beta: np.ndarray, k_eff: int) -> float:

@@ -232,7 +232,7 @@ def major_chunk_impl(
         return lax.cond(inner_active, inner_branch, major_branch, c)
 
     out = lax.while_loop(cond, body, carry)
-    return out
+    return out, _vio_norm(dp, out.ic.vio_raw, pscale)
 
 
 major_chunk = functools.partial(

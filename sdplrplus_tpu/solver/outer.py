@@ -121,6 +121,194 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
 
 
 def _solve(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
+    if config.fused_outer:
+        return _solve_fused(prob, dp, r, config, dtype)
+    return _solve_host(prob, dp, r, config, dtype)
+
+
+def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
+    """Fused driver: each dispatch runs up to ``inner_chunk`` inner steps AND
+    every major-iteration boundary it crosses on device (solver/major.py).
+    The host only checks wall-clock limits, prints, checkpoints, and
+    re-specializes shapes on rank doubling."""
+    from ..ops.lanczos import bucket_q_max, lanczos_q
+    from .major import init_major_carry, major_chunk
+
+    n, m = dp.n, dp.m
+    rng = np.random.default_rng(config.seed)
+    key = jax.random.PRNGKey(config.seed)
+
+    starttime = time.time()
+    lastprint = starttime
+
+    R, lam = _init_vars(prob, dp, r, config, dtype, rng)
+    R0_np, lam0_np = np.asarray(R[:n]), np.asarray(lam)
+
+    k = int(config.numlbfgsvecs)
+    use_armijo = dp.has_inequalities
+    gtol_rel = config.gtol_mode == "relative"
+    ptol_rel = config.ptol_mode == "relative"
+    objtol_rel = config.objtol_mode == "relative"
+    stag_tol = _stagnation_tol(config, dtype)
+    sigma0 = float(config.sigma0)
+
+    def fresh_carry(R, lam, key):
+        return init_major_carry(
+            dp, R, lam, sigma0,
+            max(1.0 / sigma0**0.1, config.ptol),
+            max(1.0 / sigma0, config.gtol),
+            key, lbfgs_init(k, dp.n_pad, r, dtype), config.rankupd_tol,
+            gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+        )
+
+    carry = fresh_carry(R, lam, key)
+    base_total = 0   # inner steps completed before the current carry lifetime
+    base_major = 0   # major boundaries completed before the current lifetime
+    timed_out = False
+    vio_norm = float("inf")
+
+    while True:
+        steps_now = int(carry.ic.steps)
+        majors_now = int(carry.majoriters)
+        total_iter = base_total + steps_now
+        majoriter = base_major + majors_now
+
+        chunk = min(config.inner_chunk, config.maxiter - total_iter + 1)
+        major_thresh = config.maxmajoriter - base_major
+        if chunk <= 0:
+            print("Warning: iteration limit exceeded. Stop optimizing.")
+            break
+        if majors_now >= major_thresh:
+            print("Warning: major iteration limit exceeded. Stop optimizing.")
+            break
+
+        q_need = lanczos_q(total_iter + chunk, n)
+        if config.eigval_highprecision:
+            q_need = min(max(100, 2 * q_need), n)
+        q_max = bucket_q_max(q_need)
+
+        carry, vio_norm_d = major_chunk(
+            dp, carry,
+            jnp.asarray(steps_now + chunk, jnp.int32),
+            jnp.asarray(major_thresh, jnp.int32),
+            jnp.asarray(base_total, jnp.int32),
+            jnp.asarray(stag_tol, dtype),
+            jnp.asarray(config.ptol, dtype),
+            jnp.asarray(config.gtol, dtype),
+            jnp.asarray(config.objtol, dtype),
+            jnp.asarray(config.sigmafac, dtype),
+            jnp.asarray(config.prior_trace_bound, dtype),
+            jnp.asarray(config.rankupd_tol, jnp.int32),
+            k=k, use_armijo=use_armijo,
+            gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+            objtol_relative=objtol_rel, q_max=q_max,
+            highprecision=bool(config.eigval_highprecision),
+        )
+
+        new_steps = int(carry.ic.steps)
+        new_majors = int(carry.majoriters)
+        vio_norm = float(vio_norm_d)
+        total_iter = base_total + new_steps
+        majoriter = base_major + new_majors
+
+        now = time.time()
+        if config.printlevel > 0 and (
+            now - lastprint >= config.printfreq or bool(carry.converged)
+        ):
+            lastprint = now
+            print_intermediate(
+                config.dataset, majoriter, new_steps, total_iter,
+                float(carry.ic.L_val), float(carry.ic.vio_raw[m]),
+                float(carry.sigma), float(carry.cur_gtol),
+                float(carry.cur_ptol), float(carry.ic.grad_norm), vio_norm,
+                float(carry.min_gap), float(carry.max_dual),
+            )
+
+        if config.checkpoint_path is not None:
+            from ..utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                config.checkpoint_path,
+                R=np.asarray(carry.ic.R[:n]), lam=np.asarray(carry.lam),
+                sigma=float(carry.sigma), r=r, majoriter=majoriter,
+                total_iter=total_iter,
+            )
+
+        if bool(carry.converged):
+            break
+        if bool(carry.rank_double):
+            base_total = total_iter
+            base_major = majoriter
+            r = next_rank(r, n, m)
+            if config.printlevel > 0:
+                print(f"rank doubled, new rank is {r}.")
+            R, lam = _init_vars(prob, dp, r, config, dtype, rng)
+            carry = fresh_carry(R, lam, carry.key)
+            continue
+        if now - starttime > config.maxtime:
+            print("Warning: time limit exceeded. Stop optimizing.")
+            timed_out = True
+            break
+        if total_iter > config.maxiter:
+            print("Warning: iteration limit exceeded. Stop optimizing.")
+            break
+        if new_steps == steps_now and new_majors == majors_now:
+            print("Warning: no progress in fused dispatch. Stop optimizing.")
+            break
+
+    endtime = time.time()
+    totaltime = endtime - starttime
+
+    R, lam = carry.ic.R, carry.lam
+    vio_raw = carry.ic.vio_raw
+    grad_norm = float(carry.ic.grad_norm)
+
+    t_dimacs = time.time()
+    if config.eval_DIMACS_errs:
+        key, sub = jax.random.split(carry.key)
+        DIMACS_errs = dimacs_errors(dp, R, lam, vio_raw, vio_raw[m], sub)
+    else:
+        DIMACS_errs = np.zeros(6)
+    dimacs_time = time.time() - t_dimacs
+
+    obj = float(vio_raw[m])
+    min_gap = float(carry.min_gap)
+    R_np = np.asarray(R[:n], dtype=np.float64)
+    return {
+        "R": R_np,
+        "Rt": R_np.T,
+        "lambda": np.asarray(carry.best_lam, dtype=np.float64),
+        "R0": R0_np,
+        "Rt0": R0_np.T,
+        "lambda0": lam0_np,
+        "sigma": float(carry.sigma),
+        "grad_norm": grad_norm,
+        "primal_vio": vio_norm,
+        "obj": obj,
+        "max_dual_value": float(carry.max_dual),
+        "min_duality_gap": min_gap,
+        "rel_duality_gap": min_gap,
+        "duality_gap": float(carry.last_gap),
+        "totaltime": totaltime,
+        "dual_time": 0.0,  # fused on-device; not separable (see feas_count)
+        "dual_lanczos_time": 0.0,
+        "primaltime": totaltime,
+        "DIMACS_time": dimacs_time,
+        "iter": base_total + int(carry.ic.steps),
+        "majoriter": base_major + int(carry.majoriters),
+        "dual_bounds_computed": int(carry.feas_count),
+        "DIMACS_errs": np.asarray(DIMACS_errs),
+        "ptol": config.ptol,
+        "objtol": config.objtol,
+        "fprec": config.fprec,
+        "rankupd_tol": config.rankupd_tol,
+        "r": r,
+        "timed_out": timed_out,
+        "dtype": str(jnp.dtype(dtype)),
+    }
+
+
+def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     n, m = dp.n, dp.m
     rng = np.random.default_rng(config.seed)
     key = jax.random.PRNGKey(config.seed)

@@ -125,3 +125,40 @@ def test_maxcut_random_graph_duality_gap():
     )
     assert res["primal_vio"] <= 1e-2
     assert res["min_duality_gap"] <= 1e-2
+
+
+def test_fused_matches_host_driver():
+    """The fused on-device outer driver (solver/major.py) must reproduce the
+    host-driven loop step for step: same iterates, same major-iteration
+    schedule, same dual-bound bookkeeping (both drive the identical math,
+    reference: src/sdplr.jl:185-393)."""
+    A = make_random_graph(20, 0.5, seed=7)
+    C, As, b = maxcut(A)
+    kw = dict(
+        objtol=1e-3, ptol=1e-3, prior_trace_bound=20.0,
+        printlevel=0, maxmajoriter=100,
+    )
+    rf = sdplr(C, As, b, 4, fused_outer=True, **kw)
+    rh = sdplr(C, As, b, 4, fused_outer=False, **kw)
+    assert rf["iter"] == rh["iter"]
+    assert rf["majoriter"] == rh["majoriter"]
+    assert abs(rf["obj"] - rh["obj"]) < 1e-8 * max(1.0, abs(rh["obj"]))
+    np.testing.assert_allclose(rf["R"], rh["R"], rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(rf["lambda"], rh["lambda"], rtol=1e-6, atol=1e-8)
+    assert abs(rf["max_dual_value"] - rh["max_dual_value"]) < 1e-6 * max(
+        1.0, abs(rh["max_dual_value"])
+    )
+
+
+def test_fused_matches_host_driver_inequality():
+    """Same equivalence through the Armijo/inequality path."""
+    C, As, b, ct = relaxed_maxcut_ineq(K2)
+    kw = dict(
+        constraint_types=ct, fprec=0.0, objtol=1e-5, ptol=1e-6,
+        prior_trace_bound=2.0, printlevel=0, maxmajoriter=200,
+    )
+    rf = sdplr(C, As, b, 1, fused_outer=True, **kw)
+    rh = sdplr(C, As, b, 1, fused_outer=False, **kw)
+    assert rf["iter"] == rh["iter"]
+    assert rf["majoriter"] == rh["majoriter"]
+    assert abs(rf["obj"] - rh["obj"]) < 1e-8
