@@ -75,9 +75,21 @@ def main():
     builder, callback, tb = builders[args.problem]
 
     def batch_eval(graph, filename, ptol, objtol):
-        A = load_mat_adjacency(
-            gset_path(graph, problem=args.problem, root=args.data_root)
-        )
+        path = gset_path(graph, problem=args.problem, root=args.data_root)
+        if not os.path.exists(path):
+            import glob
+
+            have = sorted(
+                os.path.splitext(os.path.basename(p))[0]
+                for p in glob.glob(
+                    os.path.join(args.data_root, args.problem, "*.mat")
+                )
+            )
+            sys.exit(
+                f"error: unknown graph '{graph}' for {args.problem} "
+                f"(no file {path}). Available: {', '.join(have) or 'none'}"
+            )
+        A = load_mat_adjacency(path)
         n = A.shape[0]
         out = builder(A)
         C, As, b = out[:3]

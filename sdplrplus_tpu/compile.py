@@ -136,6 +136,12 @@ class CompiledProblem:
 
     has_inequalities: bool
 
+    # dense MXU mode (diagonal-constraint problems at small/mid n): C held
+    # as a dense (n_pad, n_pad) matrix so ⟨C,·⟩ and S@X are plain matmuls
+    # and constraint values are row-wise reductions — no large gathers.
+    # None when the sparse/gather path was selected.
+    C_dense: np.ndarray | None = None
+
 
 def _triu_of(A: SparseSym) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     keep = A.rows <= A.cols
@@ -148,7 +154,13 @@ def compile_problem(
     row_pad: int = 128,
     nnz_pad: int = 128,
     ell_width: int | None = None,
+    dense: bool | None = None,
 ) -> CompiledProblem:
+    """Compile ``prob`` into statically-shaped device arrays.
+
+    ``dense``: force (True) / forbid (False) the dense MXU mode; None
+    auto-selects it for all-diagonal-constraint problems where a dense
+    C matmul beats the gather path (see the heuristic below)."""
     n, m = prob.n, prob.m
     n_pad = _round_up(max(n, 8), row_pad)
 
@@ -310,6 +322,35 @@ def compile_problem(
     normC = prob.C.norm_fro()
     normb = float(np.linalg.norm(prob.b))
 
+    # ---- dense MXU mode selection --------------------------------------------
+    # Eligible when every sparse-constraint entry is diagonal and there are
+    # no wide constraints: then the only pattern-dependent work is ⟨C,·⟩ and
+    # C@X, which a dense C turns into pure MXU matmuls. Worth it when the
+    # dense matmul's HBM traffic (~n_pad² · 4 B at ~800 GB/s) undercuts the
+    # gather path (~3 ns per nnz index, measured on v5e): nnz · 3 ns >
+    # n_pad²·4/800e9  ⇔  nnz > n_pad²/600. Small problems (n_pad ≤ 2048)
+    # are always latency-bound on gathers — dense wins outright.
+    nnz_full = int(full_rows.shape[0])
+    dense_eligible = all_cons_diagonal and not wide_gids
+    if dense is None:
+        dense = dense_eligible and (
+            n_pad <= 2048
+            or (n_pad <= 8192 and nnz_full * 600 >= n_pad * n_pad)
+        )
+    elif dense and not dense_eligible:
+        raise ValueError(
+            "dense mode requires all sparse constraints diagonal and no "
+            "wide constraints (got a problem with off-diagonal or wide "
+            "constraint entries)"
+        )
+    C_dense = None
+    if dense:
+        C_dense = np.zeros((n_pad, n_pad))
+        ti = agg_rows[:P]
+        tj = agg_cols[:P]
+        C_dense[ti, tj] = c_val_one[:P]
+        C_dense[tj, ti] = c_val_one[:P]
+
     return CompiledProblem(
         n=n,
         m=m,
@@ -349,4 +390,5 @@ def compile_problem(
         normC=normC,
         normb=normb,
         has_inequalities=prob.has_inequalities,
+        C_dense=C_dense,
     )

@@ -65,6 +65,10 @@ class SolverConfig:
     # runs as ONE device program per dispatch, amortizing host<->device RTT
     # over many major iterations. False falls back to the host-driven loop.
     fused_outer: bool = True
+    # dense MXU mode: hold C as a dense matrix so the hot ops are plain
+    # matmuls (diagonal-constraint problems only). None = auto heuristic
+    # (see compile.py), True = force, False = forbid.
+    dense_mode: Optional[bool] = None
     lanczos_tol_scale: float = 1.0
     # checkpoint/resume (SURVEY §5): serialize (R, λ, σ, r) at major-iter
     # boundaries; resume via utils.checkpoint.warm_start_from

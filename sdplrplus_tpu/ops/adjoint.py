@@ -80,6 +80,15 @@ def apply_S(
     """
     if getattr(dp, "fn_apply_S", None) is not None:  # external-model adapter
         return dp.fn_apply_S(y_full, X)
+    if dp.C_dense is not None:
+        # dense MXU mode (implies all_cons_diagonal):
+        # S@X = y_m·(C_dense@X) + diag(w·y)⊙X + lowrank — one matmul
+        out = y_full[dp.m] * (dp.C_dense @ _full(dp, X))
+        out = out + diag_weights(dp, y_full)[:, None] * X
+        for t in dp.lowrank:
+            BtX = _psum(t.B.T @ X, dp)
+            out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
+        return out
     n_loc, W = dp.ell_cols.shape
     X_full = _full(dp, X)
     Xg = jnp.take(X_full, dp.ell_cols.reshape(-1), axis=0).reshape(n_loc, W, -1)

@@ -52,6 +52,9 @@ class DeviceProblem:
     lam_ub: jax.Array
     vio_lb: jax.Array
     lowrank: Tuple[DeviceLowRank, ...]
+    # dense MXU mode: C as a dense (n_pad, n_pad) matrix (None on the
+    # sparse/gather path); see compile.py dense-mode selection
+    C_dense: jax.Array = None
 
     # -- static metadata ------------------------------------------------------
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -111,6 +114,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         lam_ub=f(cp.lam_ub),
         vio_lb=f(cp.vio_lb),
         lowrank=lr,
+        C_dense=f(cp.C_dense) if cp.C_dense is not None else None,
         n=cp.n,
         m=cp.m,
         n_pad=cp.n_pad,

@@ -69,6 +69,17 @@ def _reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
     return vals
 
 
+def _dense_cons(dp: DeviceProblem, rowvals: jax.Array) -> jax.Array:
+    """Dense-mode constraint values from per-row diagonal samples:
+    cons_k = Σⱼ con_val_two[k,j] · rowvals[con_rows[k,j]] (every entry of
+    every sparse constraint is diagonal in dense mode, so the sampled
+    uv value at position (i,i) is just rowvals[i])."""
+    if dp.spmd_axis is not None:
+        rowvals = lax.all_gather(rowvals, dp.spmd_axis, axis=0, tiled=True)
+    g = jnp.take(_widen(rowvals), dp.con_rows.reshape(-1), axis=0)[:, 0]
+    return jnp.sum(dp.con_val_two * g.reshape(dp.m, dp.con_width), axis=1)
+
+
 def uv_values_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """(UUᵀ) sampled at the aggregate triu pattern -> (P_pad,)."""
     U = _full(dp, U)
@@ -92,7 +103,15 @@ def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """𝒜(UUᵀ) -> (m+1,), slot m = ⟨C, UUᵀ⟩ (reference: src/coreop.jl:36-49)."""
     if getattr(dp, "fn_A_uu", None) is not None:  # external-model adapter
         return dp.fn_A_uu(U)
-    vals = _reduce(dp, uv_values_uu(dp, U))
+    if dp.C_dense is not None:  # dense MXU mode: ⟨C,UUᵀ⟩ = ⟨U, CU⟩
+        U_full = _full(dp, U)
+        CU = dp.C_dense @ U_full  # local rows under shard_map
+        obj = _psum(jnp.vdot(U, CU), dp)
+        vals = jnp.concatenate(
+            [_dense_cons(dp, jnp.sum(U * U, axis=1)), obj[None]]
+        )
+    else:
+        vals = _reduce(dp, uv_values_uu(dp, U))
     for t in dp.lowrank:
         UtB = _psum(U.T @ t.B, dp)  # (r, s), MXU (+psum over row shards)
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * UtB, axis=0)))
@@ -103,7 +122,15 @@ def A_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     """𝒜((UVᵀ+VUᵀ)/2) -> (m+1,) (reference: src/coreop.jl:54-70)."""
     if getattr(dp, "fn_A_uv", None) is not None:  # external-model adapter
         return dp.fn_A_uv(U, V)
-    vals = _reduce(dp, uv_values_uv(dp, U, V))
+    if dp.C_dense is not None:  # ⟨C,(UVᵀ+VUᵀ)/2⟩ = ⟨U, CV⟩ (C symmetric)
+        V_full = _full(dp, V)
+        CV = dp.C_dense @ V_full
+        obj = _psum(jnp.vdot(U, CV), dp)
+        vals = jnp.concatenate(
+            [_dense_cons(dp, jnp.sum(U * V, axis=1)), obj[None]]
+        )
+    else:
+        vals = _reduce(dp, uv_values_uv(dp, U, V))
     for t in dp.lowrank:
         UtB = _psum(U.T @ t.B, dp)
         VtB = _psum(V.T @ t.B, dp)
@@ -121,6 +148,24 @@ def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
     """
     if getattr(dp, "fn_A_uv", None) is not None:  # external-model adapter
         return 2.0 * dp.fn_A_uv(R, D), dp.fn_A_uu(D)
+    if dp.C_dense is not None:
+        # ONE matmul CD serves both objective slots:
+        #   A_RD obj = 2⟨R, CD⟩,  A_DD obj = ⟨D, CD⟩
+        CD = dp.C_dense @ _full(dp, D)
+        obj_RD = 2.0 * _psum(jnp.vdot(R, CD), dp)
+        obj_DD = _psum(jnp.vdot(D, CD), dp)
+        A_RD = jnp.concatenate(
+            [_dense_cons(dp, 2.0 * jnp.sum(R * D, axis=1)), obj_RD[None]]
+        )
+        A_DD = jnp.concatenate(
+            [_dense_cons(dp, jnp.sum(D * D, axis=1)), obj_DD[None]]
+        )
+        for t in dp.lowrank:
+            rb = _psum(R.T @ t.B, dp)
+            db = _psum(D.T @ t.B, dp)
+            A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
+            A_DD = A_DD.at[t.gid].add(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
+        return A_RD, A_DD
     r = R.shape[1]
     RD = _full(dp, jnp.concatenate([R, D], axis=1))  # (n_pad, 2r)
     Gr = jnp.take(RD, dp.agg_rows, axis=0)

@@ -87,6 +87,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         lowrank=tuple(
             DeviceLowRank(B=row, d=rep, gid=t.gid) for t in dp.lowrank
         ),
+        C_dense=row if dp.C_dense is not None else None,
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,

@@ -91,6 +91,7 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         lam_ub=put(dp.lam_ub, s_rep),
         vio_lb=put(dp.vio_lb, s_rep),
         lowrank=lr,
+        C_dense=put(dp.C_dense, s_row) if dp.C_dense is not None else None,
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,

@@ -103,7 +103,7 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
 
     t_pre = time.time()
     dtype = resolve_dtype(config)
-    cp = compile_problem(prob)
+    cp = compile_problem(prob, dense=config.dense_mode)
     dp = to_device(cp, dtype)
     preprocess_time = time.time() - t_pre
 

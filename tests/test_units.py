@@ -191,3 +191,58 @@ def test_sturm_tridiag_min_eig_device():
             )
         )
         assert abs(est - ref) < 1e-10 * max(1.0, abs(ref)), (k, est, ref)
+
+
+def test_dense_mode_matches_sparse_ops():
+    """Dense MXU mode (compile.py dense-mode selection) must reproduce the
+    gather-path ops exactly: A_uu / A_uv / A_linesearch / apply_S."""
+    import scipy.sparse as sp
+
+    from sdplrplus_tpu import SDPProblem, compile_problem
+    from sdplrplus_tpu.models import make_random_graph, maxcut, minimum_bisection
+    from sdplrplus_tpu.ops.adjoint import apply_S, assemble_s_tri, gradient
+    from sdplrplus_tpu.ops.device import to_device
+    from sdplrplus_tpu.ops.forward import A_linesearch, A_uu, A_uv
+
+    rng = np.random.default_rng(11)
+    for builder in (maxcut, minimum_bisection):
+        A = make_random_graph(24, 0.4, seed=5)
+        C, As, b = builder(A)
+        prob = SDPProblem(C, list(As), b, None)
+        cps = compile_problem(prob, dense=False)
+        cpd = compile_problem(prob, dense=True)
+        assert cpd.C_dense is not None and cps.C_dense is None
+        dps = to_device(cps, jnp.float64)
+        dpd = to_device(cpd, jnp.float64)
+        r = 3
+        R = jnp.asarray(np.pad(rng.normal(size=(24, r)), ((0, cps.n_pad - 24), (0, 0))))
+        D = jnp.asarray(np.pad(rng.normal(size=(24, r)), ((0, cps.n_pad - 24), (0, 0))))
+        np.testing.assert_allclose(A_uu(dpd, R), A_uu(dps, R), rtol=1e-12)
+        np.testing.assert_allclose(A_uv(dpd, R, D), A_uv(dps, R, D), rtol=1e-12)
+        ls_d = A_linesearch(dpd, R, D)
+        ls_s = A_linesearch(dps, R, D)
+        np.testing.assert_allclose(ls_d[0], ls_s[0], rtol=1e-12)
+        np.testing.assert_allclose(ls_d[1], ls_s[1], rtol=1e-12)
+        m = cps.m
+        lam = jnp.asarray(rng.normal(size=m))
+        y_full = jnp.concatenate([lam, jnp.ones(1)])
+        s_tri = assemble_s_tri(dps, y_full)
+        np.testing.assert_allclose(
+            apply_S(dpd, s_tri, y_full, R), apply_S(dps, s_tri, y_full, R),
+            rtol=1e-12, atol=1e-12,
+        )
+
+
+def test_dense_mode_rejects_offdiagonal():
+    import scipy.sparse as sp
+
+    from sdplrplus_tpu import SDPProblem, compile_problem
+    from sdplrplus_tpu.models import lovasz_theta, make_random_graph
+
+    A = make_random_graph(10, 0.5, seed=2)
+    C, As, b = lovasz_theta(A)
+    prob = SDPProblem(C, list(As), np.asarray(b, dtype=np.float64), None)
+    with pytest.raises(ValueError):
+        compile_problem(prob, dense=True)
+    cp = compile_problem(prob)  # auto must fall back to sparse
+    assert cp.C_dense is None
