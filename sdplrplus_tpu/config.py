@@ -69,6 +69,10 @@ class SolverConfig:
     # matmuls (diagonal-constraint problems only). None = auto heuristic
     # (see compile.py), True = force, False = forbid.
     dense_mode: Optional[bool] = None
+    # L-BFGS direction implementation: 'compact' (Byrd–Nocedal compact
+    # representation — 3 MXU contractions/iter) or 'two_loop' (classic
+    # recursion — 4k sequential dots/axpys). Identical math.
+    lbfgs_impl: str = "compact"
     lanczos_tol_scale: float = 1.0
     # checkpoint/resume (SURVEY §5): serialize (R, λ, σ, r) at major-iter
     # boundaries; resume via utils.checkpoint.warm_start_from
@@ -82,7 +86,13 @@ class SolverConfig:
         unknown = set(kwargs) - {f.name for f in dataclasses.fields(self)}
         if unknown:
             raise ValueError(f"Unrecognized config keyword(s): {sorted(unknown)}")
-        return dataclasses.replace(self, **kwargs)
+        cfg = dataclasses.replace(self, **kwargs)
+        if cfg.lbfgs_impl not in ("compact", "two_loop"):
+            raise ValueError(
+                f"lbfgs_impl must be 'compact' or 'two_loop', got "
+                f"{cfg.lbfgs_impl!r}"
+            )
+        return cfg
 
 
 def resolve_dtype(config: SolverConfig):

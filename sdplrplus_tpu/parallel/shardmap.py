@@ -129,6 +129,8 @@ def make_shardmap_inner(mesh: Mesh, specs: DeviceProblem, *, k: int,
         y_hist=P(None, AXIS, None),
         rho=rep,
         head=rep,
+        sty=rep,
+        yty=rep,
     )
     from ..solver.inner import InnerCarry
 

@@ -53,6 +53,7 @@ def inner_step(
     k: int,
     use_armijo: bool,
     gtol_relative: bool,
+    lbfgs_compact: bool = True,
 ) -> InnerCarry:
     """One inner L-BFGS iteration (reference: src/sdplr.jl:196-246).
 
@@ -63,7 +64,9 @@ def inner_step(
 
     # direction + descent fallback (reference: src/sdplr.jl:196-205)
     with jax.named_scope("lbfgs_direction"):
-        direction = lbfgs_direction(c.lbfgs, c.G, k, spmd_axis=axis)
+        direction = lbfgs_direction(
+            c.lbfgs, c.G, k, spmd_axis=axis, compact=lbfgs_compact
+        )
         descent = jnp.vdot(direction, c.G)
         if axis is not None:
             descent = lax.psum(descent, axis)
@@ -139,6 +142,7 @@ def inner_chunk_impl(
     use_armijo: bool,
     gtol_relative: bool,
     ptol_relative: bool,
+    lbfgs_compact: bool = True,
 ):
     """Run up to ``max_steps`` inner iterations on device.
 
@@ -156,6 +160,7 @@ def inner_chunk_impl(
         return inner_step(
             dp, c, lam, sigma, stag_tol,
             k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
+            lbfgs_compact=lbfgs_compact,
         )
 
     init = InnerCarry(
@@ -176,5 +181,7 @@ def inner_chunk_impl(
 
 inner_chunk = functools.partial(
     jax.jit,
-    static_argnames=("k", "use_armijo", "gtol_relative", "ptol_relative"),
+    static_argnames=(
+        "k", "use_armijo", "gtol_relative", "ptol_relative", "lbfgs_compact"
+    ),
 )(inner_chunk_impl)

@@ -93,6 +93,7 @@ def major_chunk_impl(
     objtol_relative: bool,
     q_max: int,
     highprecision: bool,
+    lbfgs_compact: bool = True,
 ):
     """Advance the solve by up to ``budget`` inner steps / ``major_budget``
     major boundaries on device. Returns the updated MajorCarry."""
@@ -113,6 +114,7 @@ def major_chunk_impl(
         ic2 = inner_step(
             dp, c.ic, c.lam, c.sigma, stag_tol,
             k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
+            lbfgs_compact=lbfgs_compact,
         )
         return c._replace(ic=ic2)
 
@@ -239,7 +241,7 @@ major_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "use_armijo", "gtol_relative", "ptol_relative",
-        "objtol_relative", "q_max", "highprecision",
+        "objtol_relative", "q_max", "highprecision", "lbfgs_compact",
     ),
 )(major_chunk_impl)
 

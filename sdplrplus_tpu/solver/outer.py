@@ -203,6 +203,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             gtol_relative=gtol_rel, ptol_relative=ptol_rel,
             objtol_relative=objtol_rel, q_max=q_max,
             highprecision=bool(config.eigval_highprecision),
+            lbfgs_compact=config.lbfgs_impl == "compact",
         )
 
         new_steps = int(carry.ic.steps)
@@ -373,6 +374,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 lbfgs, lam, sigma, cur_gtol, stag_tol, steps,
                 k=k, use_armijo=use_armijo,
                 gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+                lbfgs_compact=config.lbfgs_impl == "compact",
             )
             R, G, y_full, vio_raw, L_val = (
                 carry.R, carry.G, carry.y_full, carry.vio_raw, carry.L_val

@@ -246,3 +246,43 @@ def test_dense_mode_rejects_offdiagonal():
         compile_problem(prob, dense=True)
     cp = compile_problem(prob)  # auto must fall back to sparse
     assert cp.C_dense is None
+
+
+def test_lbfgs_compact_matches_two_loop():
+    """The compact (Byrd–Nocedal) direction must equal the two-loop
+    recursion exactly (same H, H0=I) — including empty ring slots and
+    wraparound overwrite order."""
+    from sdplrplus_tpu.solver.lbfgs import (
+        lbfgs_direction, lbfgs_init, lbfgs_push,
+    )
+
+    rng = np.random.default_rng(3)
+    k, n_pad, r = 4, 16, 3
+    st = lbfgs_init(k, n_pad, r, jnp.float64)
+    G = jnp.asarray(rng.normal(size=(n_pad, r)))
+    # progressively fill 7 pairs (wraps the k=4 ring) and compare at each fill
+    for step in range(7):
+        d_two = lbfgs_direction(st, G, k, compact=False)
+        d_cmp = lbfgs_direction(st, G, k, compact=True)
+        np.testing.assert_allclose(
+            np.asarray(d_cmp), np.asarray(d_two), rtol=1e-11, atol=1e-12,
+            err_msg=f"fill step {step}",
+        )
+        alpha = float(rng.uniform(0.1, 1.0))
+        direction = jnp.asarray(rng.normal(size=(n_pad, r)))
+        G_new = jnp.asarray(rng.normal(size=(n_pad, r)))
+        st = lbfgs_push(st, alpha, direction, G, G_new, k)
+        G = G_new
+
+
+def test_lbfgs_impl_e2e_equivalence():
+    from sdplrplus_tpu import sdplr
+    from sdplrplus_tpu.models import make_random_graph, maxcut
+
+    A = make_random_graph(20, 0.5, seed=9)
+    C, As, b = maxcut(A)
+    kw = dict(objtol=1e-3, ptol=1e-3, prior_trace_bound=20.0, printlevel=0)
+    rc = sdplr(C, As, b, 4, lbfgs_impl="compact", **kw)
+    rt = sdplr(C, As, b, 4, lbfgs_impl="two_loop", **kw)
+    assert rc["iter"] == rt["iter"]
+    assert abs(rc["obj"] - rt["obj"]) < 1e-7 * max(1.0, abs(rt["obj"]))
