@@ -55,6 +55,31 @@ class SymLowRank:
         M = (self.d[:, None] * G) @ (self.d[:, None] * G)
         return float(np.sqrt(max(np.trace(M), 0.0)))
 
+    def norm(self, p=2) -> float:
+        """Matrix norm like the reference's ``norm(A, 2/Inf)`` overloads
+        (reference: src/structs.jl:60-76): p=2 → Frobenius (the reference's
+        norm(A, 2) is the entrywise 2-norm), p=inf → max |entry|."""
+        if p == 2:
+            return self.norm_fro()
+        if p in (np.inf, float("inf"), "inf"):
+            # max |(BDBᵀ)_ij|, row-chunked to keep memory O(chunk·n)
+            BD = self.B * self.d[None, :]
+            best = 0.0
+            for lo in range(0, self.n, 4096):
+                best = max(best, float(np.abs(
+                    BD[lo:lo + 4096] @ self.B.T).max()))
+            return best
+        raise ValueError(f"SymLowRank.norm: unsupported p={p!r} (2 or inf)")
+
+    def __getitem__(self, ij):
+        """Entrywise access (BDBᵀ)_ij (reference getindex, src/structs.jl:44)."""
+        i, j = ij
+        return float((self.B[i] * self.d) @ self.B[j])
+
+    def matvec(self, x: np.ndarray) -> np.ndarray:
+        """B (d ⊙ (Bᵀ x)) — the mul! analog (reference: src/structs.jl:78-145)."""
+        return self.B @ (self.d * (self.B.T @ x))
+
 
 @dataclasses.dataclass(frozen=True)
 class SparseSym:

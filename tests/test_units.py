@@ -286,3 +286,21 @@ def test_lbfgs_impl_e2e_equivalence():
     rt = sdplr(C, As, b, 4, lbfgs_impl="two_loop", **kw)
     assert rc["iter"] == rt["iter"]
     assert abs(rc["obj"] - rt["obj"]) < 1e-7 * max(1.0, abs(rt["obj"]))
+
+
+def test_symlowrank_norms_and_access():
+    """norm(2/inf), getindex, matvec parity with the dense expansion
+    (reference: test/symlowrank.jl:2-15 randomized norm checks)."""
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        n, s = int(rng.integers(3, 30)), int(rng.integers(1, 4))
+        B = rng.normal(size=(n, s))
+        d = rng.normal(size=s)
+        A = SymLowRank(B, d)
+        D = A.todense()
+        assert abs(A.norm(2) - np.linalg.norm(D)) < 1e-10
+        assert abs(A.norm(np.inf) - np.abs(D).max()) < 1e-10
+        i, j = int(rng.integers(n)), int(rng.integers(n))
+        assert abs(A[i, j] - D[i, j]) < 1e-12
+        x = rng.normal(size=n)
+        np.testing.assert_allclose(A.matvec(x), D @ x, rtol=1e-12)
