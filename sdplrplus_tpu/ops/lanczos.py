@@ -23,11 +23,40 @@ from jax import lax
 
 from .adjoint import apply_S
 from .device import DeviceProblem
+from .forward import _psum
+
+
+def _n_loc(dp: DeviceProblem) -> int:
+    """Local row count: n_pad single-device, the shard block under
+    shard_map (derived from a row-blocked problem array)."""
+    ell = getattr(dp, "ell_cols", None)
+    return int(ell.shape[0]) if ell is not None else dp.n_pad
 
 
 def _row_mask(dp: DeviceProblem, dtype):
-    idx = lax.broadcasted_iota(jnp.int32, (dp.n_pad, 1), 0)
+    n_loc = _n_loc(dp)
+    idx = lax.broadcasted_iota(jnp.int32, (n_loc, 1), 0)
+    if dp.spmd_axis is not None:
+        idx = idx + lax.axis_index(dp.spmd_axis) * n_loc
     return (idx < dp.n).astype(dtype)
+
+
+def _lanczos_v0(dp: DeviceProblem, key, dtype):
+    """Random unit start vector (reference: src/coreop.jl:469-471), row-
+    sharded under shard_map. Every shard draws the FULL (n_pad,) vector
+    from the same key and slices its block, so the sharded run is exactly
+    the single-device run (n_pad scalars of redundant RNG per shard)."""
+    v_full = jax.random.normal(key, (dp.n_pad, 1), dtype=dtype)
+    if dp.spmd_axis is not None:
+        n_loc = _n_loc(dp)
+        start = lax.axis_index(dp.spmd_axis) * n_loc
+        v = lax.dynamic_slice(
+            v_full, (start, jnp.zeros((), start.dtype)), (n_loc, 1)
+        )
+    else:
+        v = v_full
+    v = v * _row_mask(dp, dtype)
+    return v / jnp.sqrt(_psum(jnp.sum(v * v), dp))
 
 
 def lanczos_alpha_beta_impl(
@@ -37,20 +66,19 @@ def lanczos_alpha_beta_impl(
 
     alpha/beta are (q_max,) with valid prefix of length k_eff; β breakdown
     (|β| < √n·eps, reference: src/coreop.jl:494) stops the recurrence.
+    Under shard_map v is row-sharded and every inner product psums.
     """
     dtype = s_tri.dtype
-    mask = _row_mask(dp, dtype)
-    v = jax.random.normal(key, (dp.n_pad, 1), dtype=dtype) * mask
-    v = v / jnp.linalg.norm(v)
+    v = _lanczos_v0(dp, key, dtype)
 
     breakdown_tol = jnp.sqrt(jnp.asarray(dp.n, dtype)) * jnp.finfo(dtype).eps
 
     def body(i, carry):
         v, v_prev, beta_prev, alpha, beta, done, k_eff = carry
         Av = apply_S(dp, s_tri, y_full, v)
-        a_i = jnp.vdot(v, Av)
+        a_i = _psum(jnp.vdot(v, Av), dp)
         Av = Av - a_i * v - beta_prev * v_prev
-        b_i = jnp.linalg.norm(Av)
+        b_i = jnp.sqrt(_psum(jnp.sum(Av * Av), dp))
         active = jnp.logical_and(jnp.logical_not(done), i < q)
         alpha = jnp.where(active, alpha.at[i].set(a_i), alpha)
         beta = jnp.where(active, beta.at[i].set(b_i), beta)
@@ -85,25 +113,24 @@ lanczos_alpha_beta = functools.partial(jax.jit, static_argnames=("q_max",))(
 def lanczos_alpha_beta_reorth_impl(
     dp: DeviceProblem, s_tri, y_full, key, *, q_max: int
 ):
-    """Lanczos with full reorthogonalization (high-precision path)."""
+    """Lanczos with full reorthogonalization (high-precision path).
+    Under shard_map the Krylov basis V is row-sharded like v."""
     dtype = s_tri.dtype
-    mask = _row_mask(dp, dtype)
-    v = jax.random.normal(key, (dp.n_pad, 1), dtype=dtype) * mask
-    v = v / jnp.linalg.norm(v)
+    v = _lanczos_v0(dp, key, dtype)
 
-    V0 = jnp.zeros((q_max, dp.n_pad), dtype=dtype)
+    V0 = jnp.zeros((q_max, v.shape[0]), dtype=dtype)
 
     def body(i, carry):
         v, v_prev, beta_prev, alpha, beta, V, done, k_eff = carry
         V = jnp.where(done, V, V.at[i].set(v[:, 0]))
         Av = apply_S(dp, s_tri, y_full, v)
-        a_i = jnp.vdot(v, Av)
+        a_i = _psum(jnp.vdot(v, Av), dp)
         Av = Av - a_i * v - beta_prev * v_prev
         # full reorthogonalization against all previous vectors (twice)
         for _ in range(2):
-            coeffs = V @ Av  # (q_max, 1)
+            coeffs = _psum(V @ Av, dp)  # (q_max, 1)
             Av = Av - V.T @ coeffs
-        b_i = jnp.linalg.norm(Av)
+        b_i = jnp.sqrt(_psum(jnp.sum(Av * Av), dp))
         active = jnp.logical_not(done)
         alpha = jnp.where(active, alpha.at[i].set(a_i), alpha)
         beta = jnp.where(active, beta.at[i].set(b_i), beta)

@@ -154,3 +154,57 @@ def make_shardmap_inner(mesh: Mesh, specs: DeviceProblem, *, k: int,
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
+                        use_armijo: bool, q_max: int,
+                        gtol_relative: bool = True,
+                        ptol_relative: bool = True,
+                        objtol_relative: bool = True,
+                        highprecision: bool = False,
+                        lbfgs_compact: bool = True):
+    """shard_map-wrapped FUSED outer driver (solver/major.major_chunk_impl):
+    the full major-iteration state machine — inner L-BFGS loop, Lanczos
+    dual bound (row-sharded Krylov vectors, psum'd recurrences), dual
+    ascent, σ/tolerance schedule — as one SPMD program with explicit
+    collectives.
+
+    Returns f(dp, carry, budget, major_budget, base_iter, stag_tol,
+    ptol_final, gtol_final, objtol, sigmafac, trace_bound, rankupd_tol)
+    -> (carry, vio_norm); R/G/L-BFGS histories row-sharded, everything
+    else replicated.
+    """
+    from ..solver.inner import InnerCarry
+    from ..solver.major import MajorCarry, major_chunk_impl
+
+    row = P(AXIS, None)
+    rep = P()
+    lbfgs_spec = LBFGSState(
+        s_hist=P(None, AXIS, None), y_hist=P(None, AXIS, None),
+        rho=rep, head=rep, sty=rep, yty=rep,
+    )
+    ic_spec = InnerCarry(
+        R=row, G=row, y_full=rep, vio_raw=rep, L_val=rep, grad_norm=rep,
+        lbfgs=lbfgs_spec, steps=rep, stagnated=rep,
+    )
+    carry_spec = MajorCarry(
+        ic=ic_spec, lam=rep, sigma=rep, cur_ptol=rep, cur_gtol=rep,
+        key=rep, best_lam=rep, max_dual=rep, min_gap=rep, last_gap=rep,
+        rankupd_cnt=rep, majoriters=rep, converged=rep, rank_double=rep,
+        feas_count=rep,
+    )
+    in_specs = (specs, carry_spec) + (rep,) * 10
+    out_specs = (carry_spec, rep)
+
+    fn = functools.partial(
+        major_chunk_impl,
+        k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
+        ptol_relative=ptol_relative, objtol_relative=objtol_relative,
+        q_max=q_max, highprecision=highprecision,
+        lbfgs_compact=lbfgs_compact,
+    )
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)

@@ -68,8 +68,9 @@ class MajorCarry(NamedTuple):
 
 
 def _vio_norm(dp: DeviceProblem, vio_raw, pscale):
+    # vio_raw is an m-vector, replicated under shard_map — no psum
     v = capped_vio(dp, vio_raw)
-    return jnp.sqrt(_psum(jnp.sum(v * v), dp)) / pscale
+    return jnp.linalg.norm(v) / pscale
 
 
 def major_chunk_impl(

@@ -66,3 +66,64 @@ def test_shardmap_inner_matches_single_device(gen):
     )
     assert abs(float(vn8) - float(vn1)) < 1e-10
     assert abs(float(carry8.grad_norm) - float(carry1.grad_norm)) < 1e-9
+
+
+@requires_8
+@pytest.mark.parametrize("dense", [False, True])
+def test_shardmap_major_matches_single_device(dense):
+    """The FUSED outer driver under shard_map (inner loop + Lanczos dual
+    bound + dual ascent + penalty schedule) must match the single-device
+    fused driver across several major-iteration boundaries."""
+    from sdplrplus_tpu.parallel.shardmap import make_shardmap_major
+    from sdplrplus_tpu.solver.major import init_major_carry, major_chunk
+
+    A = make_random_graph(48, 0.5, seed=3)
+    C, As, b = maxcut(A)
+    prob = SDPProblem(C, As, b, None)
+    cp = compile_problem(prob, ell_width=64, dense=dense)
+    assert cp.tail_rows.shape[0] == 0
+    r, k = 3, 4
+    rng = np.random.default_rng(1)
+    R0 = np.zeros((cp.n_pad, r))
+    R0[: prob.n] = rng.uniform(-1, 1, size=(prob.n, r))
+    lam0 = jnp.zeros(prob.m, jnp.float64)
+    key = jax.random.PRNGKey(0)
+    budget, q_max = 120, 64
+    scalars = dict(
+        budget=jnp.int32(budget), major_budget=jnp.int32(50),
+        base_iter=jnp.int32(0), stag_tol=jnp.float64(-np.inf),
+        ptol_final=jnp.float64(1e-3), gtol_final=jnp.float64(0.0),
+        objtol=jnp.float64(1e-3), sigmafac=jnp.float64(2.0),
+        trace_bound=jnp.float64(48.0), rankupd_tol=jnp.int32(4),
+    )
+
+    dp1 = to_device(cp, jnp.float64)
+    carry0 = init_major_carry(
+        dp1, jnp.asarray(R0), lam0, 2.0, 2.0 ** -0.1, 0.5, key,
+        lbfgs_init(k, cp.n_pad, r, jnp.float64), 4,
+        gtol_relative=True, ptol_relative=True,
+    )
+    out1, vn1 = major_chunk(
+        dp1, carry0, *scalars.values(),
+        k=k, use_armijo=False, gtol_relative=True, ptol_relative=True,
+        objtol_relative=True, q_max=q_max, highprecision=False,
+    )
+
+    mesh = make_mesh(8)
+    dp8, specs = shardmap_problem(cp, jnp.float64, mesh)
+    run = make_shardmap_major(mesh, specs, k=k, use_armijo=False, q_max=q_max)
+    out8, vn8 = run(dp8, carry0, *scalars.values())
+
+    assert int(out8.ic.steps) == int(out1.ic.steps)
+    assert int(out8.majoriters) == int(out1.majoriters)
+    assert int(out8.feas_count) == int(out1.feas_count)
+    np.testing.assert_allclose(
+        np.asarray(out8.ic.R), np.asarray(out1.ic.R), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.lam), np.asarray(out1.lam), atol=1e-8
+    )
+    assert abs(float(out8.max_dual) - float(out1.max_dual)) < 1e-6 * max(
+        1.0, abs(float(out1.max_dual))
+    )
+    assert abs(float(vn8) - float(vn1)) < 1e-9
