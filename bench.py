@@ -25,11 +25,22 @@ import time
 import numpy as np
 
 
-def _inner_loop_throughput(cp, dp, r=10, steps=2000, repeats=3):
-    """Time `steps` inner L-BFGS iterations running entirely on-device."""
+def _inner_loop_throughput(cp, dp, r=10, repeats=3):
+    """Time inner L-BFGS iterations running entirely on-device.
+
+    Uses the Pallas megakernel (ops/megakernel.py) when the problem is
+    eligible — the whole loop lives in VMEM at a few us/iteration — and
+    the lax.while_loop chunk otherwise. Throughput is taken as a slope
+    between a small and a large step count, which cancels the dispatch
+    latency of the remote-TPU tunnel (~26 ms XLA / ~100 ms Pallas per
+    dispatch, enormous next to the per-iteration device time).
+    """
     import jax
     import jax.numpy as jnp
 
+    from sdplrplus_tpu.ops.megakernel import (
+        make_mega_inner_chunk, megakernel_eligible,
+    )
     from sdplrplus_tpu.solver.al import al_value_grad
     from sdplrplus_tpu.solver.inner import inner_chunk
     from sdplrplus_tpu.solver.lbfgs import lbfgs_init
@@ -39,35 +50,57 @@ def _inner_loop_throughput(cp, dp, r=10, steps=2000, repeats=3):
     sigma = jnp.asarray(2.0, dtype)
     fg = jax.jit(al_value_grad, static_argnames=("gtol_relative", "ptol_relative"))
     lbfgs = lbfgs_init(4, cp.n_pad, r, dtype)
+    use_mega = megakernel_eligible(dp, r, 4, False, dtype)
+    mega = (
+        make_mega_inner_chunk(
+            dp, k=4, gtol_relative=True, ptol_relative=True
+        )(r)
+        if use_mega else None
+    )
+    # the megakernel is ~20x faster per iteration: use a bigger window so
+    # device time dominates timer noise
+    steps_small, steps_big = (100, 100_000) if use_mega else (100, 4000)
 
-    def run(seed):
+    def R_of(seed):
         # fresh inputs per run: the remote-execution backend can dedupe
         # repeated identical (program, args) dispatches, which would make
         # repeat timings meaningless
         rng = np.random.default_rng(seed)
         R0 = np.zeros((cp.n_pad, r), dtype=np.float32)
         R0[: cp.n] = rng.uniform(-1, 1, size=(cp.n, r))
-        R = jnp.asarray(R0, dtype)
-        L, vio_raw, G, y_full, gn, _ = fg(
-            dp, R, lam, sigma, gtol_relative=True, ptol_relative=True
-        )
-        jax.block_until_ready(G)
-        t0 = time.time()
-        carry, _ = inner_chunk(
-            dp, R, G, y_full, vio_raw, L, gn, lbfgs, lam, sigma,
-            jnp.asarray(0.0, dtype),        # gtol 0: never converge
-            jnp.asarray(-np.inf, dtype),    # no stagnation break
-            steps,
-            k=4, use_armijo=False, gtol_relative=True, ptol_relative=True,
-        )
-        jax.block_until_ready(carry.R)
-        dt = time.time() - t0
+        return jnp.asarray(R0, dtype)
+
+    def run(seed, steps):
+        R = R_of(seed)
+        gtol = jnp.asarray(-1.0, dtype)      # never converge
+        nostag = jnp.asarray(-np.inf, dtype)  # no stagnation break
+        if use_mega:
+            t0 = time.time()
+            carry, _ = mega(R, lbfgs, lam, sigma, gtol, nostag,
+                            jnp.asarray(steps, jnp.int32))
+            jax.block_until_ready(carry.R)
+            dt = time.time() - t0
+        else:
+            L, vio_raw, G, y_full, gn, _ = fg(
+                dp, R, lam, sigma, gtol_relative=True, ptol_relative=True
+            )
+            jax.block_until_ready(G)
+            t0 = time.time()
+            carry, _ = inner_chunk(
+                dp, R, G, y_full, vio_raw, L, gn, lbfgs, lam, sigma,
+                gtol, nostag, steps,
+                k=4, use_armijo=False, gtol_relative=True, ptol_relative=True,
+            )
+            jax.block_until_ready(carry.R)
+            dt = time.time() - t0
         assert int(carry.steps) == steps
         return dt
 
-    run(0)  # compile + warm
-    best = min(run(s + 1) for s in range(repeats))
-    return steps / best
+    run(0, steps_small)  # compile + warm
+    t_small = min(run(s + 1, steps_small) for s in range(repeats))
+    t_big = min(run(s + 11, steps_big) for s in range(repeats))
+    rate = (steps_big - steps_small) / max(t_big - t_small, 1e-9)
+    return rate, ("pallas-megakernel" if use_mega else "xla-while-loop")
 
 
 def run_bench(graph="G1", dtype="float32"):
@@ -86,7 +119,7 @@ def run_bench(graph="G1", dtype="float32"):
     prob = SDPProblem(C, list(As), b, None)
     cp = compile_problem(prob)
     dp = to_device(cp, jnp.dtype(dtype))
-    iters_per_sec = _inner_loop_throughput(cp, dp)
+    iters_per_sec, engine = _inner_loop_throughput(cp, dp)
 
     # --- detail: end-to-end solve (warmup then timed) ------------------------
     common = dict(
@@ -106,6 +139,7 @@ def run_bench(graph="G1", dtype="float32"):
         "iter": res["iter"],
         "majoriter": res["majoriter"],
         "device_al_iters_per_sec": iters_per_sec,
+        "inner_engine": engine,
         "e2e_al_iters_per_sec": res["iter"] / max(res["primaltime"], 1e-9),
         "time_to_tol_s": wall,
         "primal_time_s": res["primaltime"],

@@ -73,6 +73,12 @@ class SolverConfig:
     # representation — 3 MXU contractions/iter) or 'two_loop' (classic
     # recursion — 4k sequential dots/axpys). Identical math.
     lbfgs_impl: str = "compact"
+    # inner-loop implementation for the host-driven (fused_outer=False)
+    # path: 'auto' selects the Pallas megakernel (ops/megakernel.py) when
+    # the problem is eligible (dense MXU mode, equality-only, diagonal
+    # row<->constraint bijection, fits VMEM), 'mega' forces it (error if
+    # ineligible), 'xla' forces the lax.while_loop inner chunk.
+    inner_impl: str = "auto"
     lanczos_tol_scale: float = 1.0
     # checkpoint/resume (SURVEY §5): serialize (R, λ, σ, r) at major-iter
     # boundaries; resume via utils.checkpoint.warm_start_from
@@ -91,6 +97,11 @@ class SolverConfig:
             raise ValueError(
                 f"lbfgs_impl must be 'compact' or 'two_loop', got "
                 f"{cfg.lbfgs_impl!r}"
+            )
+        if cfg.inner_impl not in ("auto", "mega", "xla"):
+            raise ValueError(
+                f"inner_impl must be 'auto', 'mega' or 'xla', got "
+                f"{cfg.inner_impl!r}"
             )
         return cfg
 

@@ -86,6 +86,7 @@ def major_chunk_impl(
     sigmafac,
     trace_bound,
     rankupd_tol,     # int32
+    mega_data=0,     # ops/megakernel.MegaData when mega_spec is set
     *,
     k: int,
     use_armijo: bool,
@@ -95,6 +96,9 @@ def major_chunk_impl(
     q_max: int,
     highprecision: bool,
     lbfgs_compact: bool = True,
+    mega_spec=None,       # static ops/megakernel.MegaSpec: inner loop runs
+    mega_r: int = 0,      # as ONE Pallas megakernel call per activation
+    mega_interpret: bool = False,
 ):
     """Advance the solve by up to ``budget`` inner steps / ``major_budget``
     major boundaries on device. Returns the updated MajorCarry."""
@@ -111,13 +115,28 @@ def major_chunk_impl(
             & (c.majoriters < major_budget)
         )
 
-    def inner_branch(c: MajorCarry) -> MajorCarry:
-        ic2 = inner_step(
-            dp, c.ic, c.lam, c.sigma, stag_tol,
-            k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
-            lbfgs_compact=lbfgs_compact,
-        )
-        return c._replace(ic=ic2)
+    if mega_spec is not None:
+        # the whole inner loop as one Pallas megakernel call: it exits on
+        # gnorm <= cur_gtol, stagnation, or the remaining step budget
+        from ..ops.megakernel import mega_chunk_traced
+
+        def inner_branch(c: MajorCarry) -> MajorCarry:
+            remaining = jnp.maximum(budget - c.ic.steps, 0)
+            ic2, _ = mega_chunk_traced(
+                mega_spec, mega_r, m, mega_interpret, pscale, mega_data,
+                c.ic.R, c.ic.lbfgs, c.lam, c.sigma, c.cur_gtol, stag_tol,
+                remaining,
+            )
+            ic2 = ic2._replace(steps=c.ic.steps + ic2.steps)
+            return c._replace(ic=ic2)
+    else:
+        def inner_branch(c: MajorCarry) -> MajorCarry:
+            ic2 = inner_step(
+                dp, c.ic, c.lam, c.sigma, stag_tol,
+                k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
+                lbfgs_compact=lbfgs_compact,
+            )
+            return c._replace(ic=ic2)
 
     def dual_bound(c: MajorCarry, sub):
         """Lanczos λ_min(S) + dual value (reference: src/coreop.jl:376-415),
@@ -243,6 +262,7 @@ major_chunk = functools.partial(
     static_argnames=(
         "k", "use_armijo", "gtol_relative", "ptol_relative",
         "objtol_relative", "q_max", "highprecision", "lbfgs_compact",
+        "mega_spec", "mega_r", "mega_interpret",
     ),
 )(major_chunk_impl)
 

@@ -152,6 +152,33 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     stag_tol = _stagnation_tol(config, dtype)
     sigma0 = float(config.sigma0)
 
+    # Pallas megakernel for the fused inner loop (ops/megakernel.py):
+    # each activation of the inner loop runs as ONE in-VMEM kernel call
+    from ..ops.megakernel import (
+        mega_spec_for, megakernel_eligible, prepare_mega_data,
+    )
+
+    mega_meta = mega_data = None
+    if config.inner_impl in ("auto", "mega"):
+        eligible = megakernel_eligible(dp, r, k, use_armijo, dtype)
+        if config.inner_impl == "auto" and jax.default_backend() != "tpu":
+            eligible = False
+        if eligible:
+            mega_meta, mega_data = prepare_mega_data(
+                dp, k=k, gtol_relative=gtol_rel, ptol_relative=ptol_rel
+            )
+
+    def mega_kwargs(r_now: int):
+        if mega_meta is None or not megakernel_eligible(
+            dp, r_now, k, use_armijo, dtype
+        ):
+            return {}, 0
+        return {
+            "mega_spec": mega_spec_for(mega_meta, r_now),
+            "mega_r": r_now,
+            "mega_interpret": jax.default_backend() != "tpu",
+        }, mega_data
+
     def fresh_carry(R, lam, key):
         return init_major_carry(
             dp, R, lam, sigma0,
@@ -187,6 +214,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             q_need = min(max(100, 2 * q_need), n)
         q_max = bucket_q_max(q_need)
 
+        mkw, mdata = mega_kwargs(r)
         carry, vio_norm_d = major_chunk(
             dp, carry,
             jnp.asarray(steps_now + chunk, jnp.int32),
@@ -199,11 +227,13 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             jnp.asarray(config.sigmafac, dtype),
             jnp.asarray(config.prior_trace_bound, dtype),
             jnp.asarray(config.rankupd_tol, jnp.int32),
+            mdata,
             k=k, use_armijo=use_armijo,
             gtol_relative=gtol_rel, ptol_relative=ptol_rel,
             objtol_relative=objtol_rel, q_max=q_max,
             highprecision=bool(config.eigval_highprecision),
             lbfgs_compact=config.lbfgs_impl == "compact",
+            **mkw,
         )
 
         new_steps = int(carry.ic.steps)
@@ -329,6 +359,41 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
 
     lbfgs = lbfgs_init(k, dp.n_pad, r, dtype)
 
+    # -- inner-loop implementation: Pallas megakernel when eligible ---------
+    # (ops/megakernel.py: the whole inner L-BFGS loop in one VMEM-resident
+    # kernel; 'auto' picks it for dense-mode equality problems)
+    from ..ops.megakernel import make_mega_inner_chunk, megakernel_eligible
+
+    mega_factory = None
+    mega_runs = {}
+    if config.inner_impl in ("auto", "mega"):
+        eligible = megakernel_eligible(dp, r, k, use_armijo, dtype)
+        # 'auto' only engages the kernel on real TPU hardware; on CPU the
+        # interpreter-mode kernel is for tests and must be asked for.
+        if config.inner_impl == "auto" and jax.default_backend() != "tpu":
+            eligible = False
+        if config.inner_impl == "mega" and not eligible:
+            raise ValueError(
+                "inner_impl='mega' requested but the problem is not "
+                "megakernel-eligible (needs dense MXU mode, equality "
+                "constraints only, one diagonal entry per constraint, "
+                "and the dense C must fit in VMEM)"
+            )
+        if eligible:
+            mega_factory = make_mega_inner_chunk(
+                dp, k=k, gtol_relative=gtol_rel, ptol_relative=ptol_rel
+            )
+
+    def mega_run_for(r_now: int):
+        """Megakernel runner for the current rank, or None (XLA path)."""
+        if mega_factory is None:
+            return None
+        if r_now not in mega_runs:
+            if not megakernel_eligible(dp, r_now, k, use_armijo, dtype):
+                return None  # rank grew past the VMEM budget
+            mega_runs[r_now] = mega_factory(r_now)
+        return mega_runs[r_now]
+
     cur_gtol = max(1.0 / sigma, config.gtol)
     cur_ptol = max(1.0 / sigma**0.1, config.ptol)
 
@@ -369,13 +434,22 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             steps = min(config.inner_chunk, config.maxiter - total_iter + 1)
             if steps <= 0:
                 break
-            carry, pnorm_d = inner_chunk(
-                dp, R, G, y_full, vio_raw, L_val, jnp.asarray(grad_norm, dtype),
-                lbfgs, lam, sigma, cur_gtol, stag_tol, steps,
-                k=k, use_armijo=use_armijo,
-                gtol_relative=gtol_rel, ptol_relative=ptol_rel,
-                lbfgs_compact=config.lbfgs_impl == "compact",
-            )
+            mega = mega_run_for(r)
+            if mega is not None:
+                carry, pnorm_d = mega(
+                    R, lbfgs, lam, jnp.asarray(sigma, dtype),
+                    jnp.asarray(cur_gtol, dtype), jnp.asarray(stag_tol, dtype),
+                    jnp.asarray(steps, jnp.int32),
+                )
+            else:
+                carry, pnorm_d = inner_chunk(
+                    dp, R, G, y_full, vio_raw, L_val,
+                    jnp.asarray(grad_norm, dtype),
+                    lbfgs, lam, sigma, cur_gtol, stag_tol, steps,
+                    k=k, use_armijo=use_armijo,
+                    gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+                    lbfgs_compact=config.lbfgs_impl == "compact",
+                )
             R, G, y_full, vio_raw, L_val = (
                 carry.R, carry.G, carry.y_full, carry.vio_raw, carry.L_val
             )
