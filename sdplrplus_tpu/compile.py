@@ -193,10 +193,15 @@ def compile_problem(
     # C's entries become dense (P_pad,)-aligned value arrays; true
     # constraints become a (m, K) ELL over their (few) entries plus the
     # inverse (P_pad, J) position->constraint map (scatter-free design).
+    # The O(nnz) grouping/packing runs through the native core
+    # (utils/native.py group_ell_pack, C++ with a vectorized numpy
+    # fallback) instead of per-entry Python loops.
+    from .utils.native import group_ell_pack
+
     c_val_one = np.zeros(P_pad)
     c_val_two = np.zeros(P_pad)
-    con_entries: List[list] = [[] for _ in range(m)]  # (pos, v1, v2)
-    pos_entries: List[list] = [[] for _ in range(P_pad)]
+    ent_gid_l, ent_pos_l, ent_v1_l, ent_v2_l = [], [], [], []
+    ent_ti_l, ent_tj_l = [], []
     for gid, A in sparse_ops:
         ti, tj, tv = _triu_of(A)
         keys = ti.astype(np.int64) * n + tj.astype(np.int64)
@@ -206,42 +211,61 @@ def compile_problem(
             c_val_one[pos] = tv
             c_val_two[pos] = v2
         else:
-            for p, v1e, v2e in zip(pos, tv, v2):
-                con_entries[gid].append((int(p), float(v1e), float(v2e)))
-                pos_entries[int(p)].append((gid, float(v1e)))
+            ent_gid_l.append(np.full(len(pos), gid, dtype=np.int64))
+            ent_pos_l.append(pos.astype(np.int64))
+            ent_v1_l.append(np.asarray(tv, dtype=np.float64))
+            ent_v2_l.append(np.asarray(v2, dtype=np.float64))
+            ent_ti_l.append(ti.astype(np.int64))
+            ent_tj_l.append(tj.astype(np.int64))
+
+    def _cat(lst, dtype):
+        return (np.concatenate(lst) if lst
+                else np.zeros(0, dtype=dtype))
+
+    ent_gid = _cat(ent_gid_l, np.int64)
+    ent_pos = _cat(ent_pos_l, np.int64)
+    ent_v1 = _cat(ent_v1_l, np.float64)
+    ent_v2 = _cat(ent_v2_l, np.float64)
+    ent_ti = _cat(ent_ti_l, np.int64)
+    ent_tj = _cat(ent_tj_l, np.int64)
 
     WIDE_THRESHOLD = 8
-    wide_gids = tuple(
-        gid for gid, e in enumerate(con_entries) if len(e) > WIDE_THRESHOLD
+    gid_counts = np.bincount(ent_gid, minlength=m) if m else np.zeros(0, int)
+    wide_gids = tuple(int(g) for g in np.flatnonzero(gid_counts > WIDE_THRESHOLD))
+    wide_mask_ent = (
+        np.isin(ent_gid, np.asarray(wide_gids)) if wide_gids
+        else np.zeros(len(ent_gid), dtype=bool)
     )
-    wide_set = set(wide_gids)
     wide_val_two = np.zeros((len(wide_gids), P_pad))
-    for w, gid in enumerate(wide_gids):
-        for (p, _v1, v2e) in con_entries[gid]:
-            wide_val_two[w, p] = v2e
+    if wide_gids:
+        widx = {g: i for i, g in enumerate(wide_gids)}
+        wg = ent_gid[wide_mask_ent]
+        wp = ent_pos[wide_mask_ent]
+        wv = ent_v2[wide_mask_ent]
+        wide_val_two[
+            np.fromiter((widx[int(g)] for g in wg), dtype=np.int64,
+                        count=len(wg)),
+            wp,
+        ] = wv
 
-    K = max(
-        (len(e) for gid, e in enumerate(con_entries) if gid not in wide_set),
-        default=0,
-    )
+    narrow = ~wide_mask_ent
+    K = int(gid_counts[gid_counts <= WIDE_THRESHOLD].max()) if (
+        m and np.any(gid_counts <= WIDE_THRESHOLD)
+    ) else 0
     K = max(K, 1)
-    con_pos = np.full((m, K), P_pad - 1, dtype=np.int64)  # zero slot
-    con_val_two = np.zeros((m, K))
-    for gid, entries in enumerate(con_entries):
-        if gid in wide_set:
-            continue  # handled by the dense wide rows
-        for k, (p, _v1, v2e) in enumerate(entries):
-            con_pos[gid, k] = p
-            con_val_two[gid, k] = v2e
+    con_pos, con_val_two, _ = group_ell_pack(
+        ent_gid[narrow], ent_pos[narrow].astype(np.int32), ent_v2[narrow],
+        n_groups=m, width=K, fill_col=P_pad - 1,
+    )
+    con_pos = con_pos.astype(np.int64)
 
-    J = max((len(e) for e in pos_entries), default=0)
+    J = int(np.bincount(ent_pos, minlength=P_pad).max()) if len(ent_pos) else 0
     J = max(J, 1)
-    pos_cid = np.full((P_pad, J), m, dtype=np.int64)  # m = "no constraint"
-    pos_val = np.zeros((P_pad, J))
-    for p, entries in enumerate(pos_entries):
-        for j, (gid, v1e) in enumerate(entries):
-            pos_cid[p, j] = gid
-            pos_val[p, j] = v1e
+    pos_cid, pos_val, _ = group_ell_pack(
+        ent_pos, ent_gid.astype(np.int32), ent_v1,
+        n_groups=P_pad, width=J, fill_col=m,
+    )
+    pos_cid = pos_cid.astype(np.int64)
 
     # ---- full symmetric pattern -> ELL + tail (src/preprocess.jl:137-159) ---
     # full pattern = triu entries + mirror of strict-triu entries
@@ -286,23 +310,17 @@ def compile_problem(
     # ---- fast diagonal-constraints adjoint path ------------------------------
     # every sparse-constraint entry on the diagonal? then S@X needs no
     # dynamic S values at all: static C-ELL + diag(w·y)·X
-    all_cons_diagonal = True
-    diag_lists: List[list] = [[] for _ in range(n)]
-    for gid, entries in enumerate(con_entries):
-        for (p, v1e, _v2) in entries:
-            i_, j_ = int(agg_keys[p] // n), int(agg_keys[p] % n)
-            if i_ == j_:
-                diag_lists[i_].append((gid, v1e))
-            else:
-                all_cons_diagonal = False
-    Jd = max((len(x) for x in diag_lists), default=0)
+    on_diag = ent_ti == ent_tj
+    all_cons_diagonal = bool(np.all(on_diag)) if len(ent_ti) else True
+    Jd = int(np.bincount(ent_ti[on_diag], minlength=max(n, 1)).max()) if (
+        np.any(on_diag)
+    ) else 0
     Jd = max(Jd, 1)
-    diag_cid = np.full((n_pad, Jd), m, dtype=np.int64)
-    diag_w = np.zeros((n_pad, Jd))
-    for i_, entries in enumerate(diag_lists):
-        for j, (gid, w) in enumerate(entries):
-            diag_cid[i_, j] = gid
-            diag_w[i_, j] = w
+    diag_cid, diag_w, _ = group_ell_pack(
+        ent_ti[on_diag], ent_gid[on_diag].astype(np.int32), ent_v1[on_diag],
+        n_groups=n_pad, width=Jd, fill_col=m,
+    )
+    diag_cid = diag_cid.astype(np.int64)
     # static C values at ELL/tail slots (the pad slot P_pad-1 carries 0)
     cell_val = c_val_one[ell_tri]
     tail_cval = c_val_one[tail_tri] if T_pad else np.zeros(0)

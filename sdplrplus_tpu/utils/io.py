@@ -34,46 +34,77 @@ def load_mat_adjacency(path: str, key: str = "A") -> sp.csr_matrix:
             return sp.csc_matrix((data, ir, jc), shape=(n, n)).tocsr()
 
 
+def _read_text(path: str) -> bytes:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return f.read()
+
+
 def read_gset(path: str) -> sp.csr_matrix:
     """Gset text format: first line "n m", then "i j w" edges (1-based)
-    (reference: exps/data_utils.jl read_gset)."""
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rt") as f:
-        first = f.readline().split()
-        n = int(first[0])
-        rows, cols, vals = [], [], []
-        for line in f:
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            i, j = int(parts[0]) - 1, int(parts[1]) - 1
-            w = float(parts[2]) if len(parts) > 2 else 1.0
-            rows.append(i)
-            cols.append(j)
-            vals.append(w)
-    A = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    (reference: exps/data_utils.jl read_gset). Parsing runs through the
+    native C++ core when available (utils/native.py)."""
+    from .native import parse_edges
+
+    text = _read_text(path)
+    header_end = text.find(b"\n")
+    n = int(text[:header_end].split()[0])
+    I, J, W = parse_edges(text[header_end + 1:])
+    A = sp.csr_matrix((W, (I - 1, J - 1)), shape=(n, n))
     return postprocess_graph(A)
 
 
 def read_edge_list(path: str, zero_based: bool = True) -> sp.csr_matrix:
     """Plain (optionally gzipped) edge-list reader for SNAP-style files
-    (reference: exps/data_utils.jl read_txt_gz)."""
-    opener = gzip.open if path.endswith(".gz") else open
-    rows, cols = [], []
-    with opener(path, "rt") as f:
-        for line in f:
-            if line.startswith("#") or line.startswith("%"):
-                continue
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            i, j = int(parts[0]), int(parts[1])
-            if not zero_based:
-                i, j = i - 1, j - 1
-            rows.append(i)
-            cols.append(j)
-    n = max(max(rows, default=0), max(cols, default=0)) + 1
-    A = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    (reference: exps/data_preprocess.jl read_txt_gz). Comment lines
+    (#, %) are skipped; parsing is native when available."""
+    from .native import parse_edges
+
+    I, J, _ = parse_edges(_read_text(path))
+    if not zero_based:
+        I, J = I - 1, J - 1
+    n = int(max(I.max(initial=0), J.max(initial=0))) + 1
+    A = sp.csr_matrix((np.ones(len(I)), (I, J)), shape=(n, n))
+    return postprocess_graph(A)
+
+
+def read_zip_edges(path: str, csv_name: str | None = None) -> sp.csr_matrix:
+    """DIMACS10-style zip archive holding ``<name>_edges.csv`` (header row,
+    two integer id columns). Ids are shifted to 0-based if needed and the
+    graph is symmetrized (reference: exps/data_preprocess.jl read_zip)."""
+    import csv
+    import io as _io
+    import zipfile
+
+    base = os.path.splitext(os.path.basename(path))[0]
+    want = csv_name or f"{base}_edges.csv"
+    with zipfile.ZipFile(path) as z:
+        member = next(
+            (nm for nm in z.namelist() if nm.split("/")[-1] == want), None
+        )
+        if member is None:
+            raise FileNotFoundError(f"{want} not found inside {path}")
+        with z.open(member) as f:
+            reader = csv.reader(_io.TextIOWrapper(f, "utf-8"))
+            header = next(reader, None)
+            rows_cols = [
+                (int(row[0]), int(row[1])) for row in reader if len(row) >= 2
+            ]
+            # header may itself be an edge (no-header files)
+            if header is not None and len(header) >= 2:
+                try:
+                    rows_cols.insert(0, (int(header[0]), int(header[1])))
+                except ValueError:
+                    pass
+    if not rows_cols:
+        return sp.csr_matrix((0, 0))
+    I = np.array([e[0] for e in rows_cols], dtype=np.int64)
+    J = np.array([e[1] for e in rows_cols], dtype=np.int64)
+    shift = int(min(I.min(), J.min()))  # 0- or 1-based ids -> 0-based
+    I -= shift
+    J -= shift
+    n = int(max(I.max(), J.max())) + 1
+    A = sp.csr_matrix((np.ones(len(I)), (I, J)), shape=(n, n))
     return postprocess_graph(A)
 
 

@@ -150,3 +150,33 @@ def test_postprocess_graph():
     B = postprocess_graph(A)
     assert B[0, 0] == 0.0  # self-loop stripped
     assert B[1, 0] == 1.0  # symmetrized
+
+
+def test_read_zip_edges(tmp_path):
+    """DIMACS10-style zip with <name>_edges.csv (1-based ids, header row)
+    (reference: exps/data_preprocess.jl read_zip)."""
+    import zipfile
+
+    from sdplrplus_tpu.utils.io import read_zip_edges
+
+    path = tmp_path / "toy.zip"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("toy/toy_edges.csv", "src,dst\n1,2\n2,3\n3,1\n3,3\n")
+    A = read_zip_edges(str(path))
+    assert A.shape == (3, 3)
+    assert A.nnz == 6                      # symmetrized triangle
+    assert A.diagonal().sum() == 0         # self-loop stripped
+    assert A[0, 1] == 1 and A[1, 0] == 1
+
+
+def test_read_zip_edges_zero_based(tmp_path):
+    import zipfile
+
+    from sdplrplus_tpu.utils.io import read_zip_edges
+
+    path = tmp_path / "toy0.zip"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("toy0_edges.csv", "0,1\n1,2\n")
+    A = read_zip_edges(str(path))
+    assert A.shape == (3, 3)
+    assert A.nnz == 4
