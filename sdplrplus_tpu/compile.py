@@ -142,6 +142,22 @@ class CompiledProblem:
     # None when the sparse/gather path was selected.
     C_dense: np.ndarray | None = None
 
+    # entrywise dense-mask mode (single-triu-entry constraint families,
+    # e.g. Lovász-θ's edge constraints X_ij = 0): the inner loop carries
+    # violations/duals as dense masked (n_pad, n_pad) matrices, so the
+    # forward/adjoint/line-search math is MXU matmuls + masked VPU
+    # reductions with NO per-constraint gathers. All None when not
+    # selected. See ops/entrymask.py.
+    entry_gids: np.ndarray | None = None   # (m_e,) constraint gids
+    entry_rows: np.ndarray | None = None   # (m_e,) triu row of the entry
+    entry_cols: np.ndarray | None = None   # (m_e,) triu col
+    ew_c2: np.ndarray | None = None        # (n_pad, n_pad) inner-product wt
+    ew_v1: np.ndarray | None = None        # (n_pad, n_pad) raw entry value
+    ew_h: np.ndarray | None = None         # (n_pad, n_pad) ½ offdiag / 1 diag
+    ew_C: np.ndarray | None = None         # dense C for entry mode (sparse C)
+    extra_gids: Tuple[int, ...] = ()       # wide + low-rank constraint gids
+    extra_wide_w: np.ndarray | None = None  # (n_exw, n_pad) diag weights
+
 
 def _triu_of(A: SparseSym) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     keep = A.rows <= A.cols
@@ -155,12 +171,18 @@ def compile_problem(
     nnz_pad: int = 128,
     ell_width: int | None = None,
     dense: bool | None = None,
+    entry: bool | None = None,
 ) -> CompiledProblem:
     """Compile ``prob`` into statically-shaped device arrays.
 
     ``dense``: force (True) / forbid (False) the dense MXU mode; None
     auto-selects it for all-diagonal-constraint problems where a dense
-    C matmul beats the gather path (see the heuristic below)."""
+    C matmul beats the gather path (see the heuristic below).
+
+    ``entry``: force/forbid the entrywise dense-mask mode (see
+    ops/entrymask.py); None auto-selects it for equality-only problems
+    whose narrow constraints each touch one distinct triu position with
+    at least one off the diagonal (e.g. Lovász-θ) at n_pad ≤ 4096."""
     n, m = prob.n, prob.m
     n_pad = _round_up(max(n, 8), row_pad)
 
@@ -369,6 +391,80 @@ def compile_problem(
         C_dense[ti, tj] = c_val_one[:P]
         C_dense[tj, ti] = c_val_one[:P]
 
+    # ---- entrywise dense-mask mode selection ---------------------------------
+    # Eligible when the problem is equality-only and every narrow sparse
+    # constraint touches exactly ONE distinct triu position (wide
+    # constraints must be diagonal-only; low-rank constraints are fine —
+    # both become a small "extra" slot vector). The inner loop then never
+    # materializes the m-vector: violations/duals live as dense masked
+    # (n_pad, n_pad) matrices and all constraint math is MXU matmuls +
+    # masked reductions (ops/entrymask.py). Auto-selected only where the
+    # dense MXU mode doesn't already apply (off-diagonal entries present).
+    lowrank_con_gids = [gid for gid, _ in lowrank_ops if gid != m]
+    narrow_gid_mask = np.ones(m, dtype=bool)
+    narrow_gid_mask[list(wide_gids)] = False
+    narrow_gid_mask[lowrank_con_gids] = False
+    narrow_sel = ~wide_mask_ent
+    pos_narrow = ent_pos[narrow_sel]
+    entry_eligible = (
+        not prob.has_inequalities
+        and m > 0
+        and int(narrow_gid_mask.sum()) > 0
+        and bool(np.all(gid_counts[narrow_gid_mask] == 1))
+        and bool(np.all(ent_ti[wide_mask_ent] == ent_tj[wide_mask_ent]))
+        and len(np.unique(pos_narrow)) == len(pos_narrow)
+    )
+    if entry is None:
+        entry_sel = bool(
+            entry_eligible and not dense and not all_cons_diagonal
+            and n_pad <= 4096
+        )
+    elif entry:
+        if not entry_eligible:
+            raise ValueError(
+                "entry mode requires an equality-only problem whose narrow "
+                "sparse constraints each have exactly one distinct "
+                "upper-triangular entry (wide constraints diagonal-only)"
+            )
+        entry_sel = True
+    else:
+        entry_sel = False
+
+    entry_gids = entry_rows = entry_cols = None
+    ew_c2 = ew_v1 = ew_h = ew_C = None
+    extra_gids: Tuple[int, ...] = ()
+    extra_wide_w = None
+    if entry_sel:
+        g_n = ent_gid[narrow_sel]
+        order = np.argsort(g_n)
+        entry_gids = g_n[order].astype(INDEX_DTYPE)
+        ti_n = ent_ti[narrow_sel][order]
+        tj_n = ent_tj[narrow_sel][order]
+        v1_n = ent_v1[narrow_sel][order]
+        v2_n = ent_v2[narrow_sel][order]
+        entry_rows = ti_n.astype(INDEX_DTYPE)
+        entry_cols = tj_n.astype(INDEX_DTYPE)
+        ew_c2 = np.zeros((n_pad, n_pad))
+        ew_v1 = np.zeros((n_pad, n_pad))
+        ew_h = np.zeros((n_pad, n_pad))
+        for M_, v_ in ((ew_c2, v2_n), (ew_v1, v1_n),
+                       (ew_h, np.where(ti_n == tj_n, 1.0, 0.5))):
+            M_[ti_n, tj_n] = v_
+            M_[tj_n, ti_n] = v_
+        extra_gids = tuple(int(g) for g in wide_gids) + tuple(
+            int(g) for g in sorted(lowrank_con_gids)
+        )
+        extra_wide_w = np.zeros((len(wide_gids), n_pad))
+        for i, g in enumerate(wide_gids):
+            selw = ent_gid == g
+            extra_wide_w[i, ent_ti[selw]] = ent_v1[selw]
+        if any(gid == m for gid, _ in sparse_ops):  # C sparse -> densify
+            ew_C = np.zeros((n_pad, n_pad))
+            ti = agg_rows[:P]
+            tj = agg_cols[:P]
+            ew_C[ti, tj] = c_val_one[:P]
+            ew_C[tj, ti] = c_val_one[:P]
+
     return CompiledProblem(
         n=n,
         m=m,
@@ -409,4 +505,13 @@ def compile_problem(
         normb=normb,
         has_inequalities=prob.has_inequalities,
         C_dense=C_dense,
+        entry_gids=entry_gids,
+        entry_rows=entry_rows,
+        entry_cols=entry_cols,
+        ew_c2=ew_c2,
+        ew_v1=ew_v1,
+        ew_h=ew_h,
+        ew_C=ew_C,
+        extra_gids=extra_gids,
+        extra_wide_w=extra_wide_w,
     )

@@ -69,6 +69,13 @@ class SolverConfig:
     # matmuls (diagonal-constraint problems only). None = auto heuristic
     # (see compile.py), True = force, False = forbid.
     dense_mode: Optional[bool] = None
+    # entrywise dense-mask mode: for equality-only problems whose narrow
+    # constraints each touch one distinct triu position (e.g. Lovász-θ),
+    # the inner loop carries violations/duals as dense masked matrices —
+    # all constraint math becomes MXU matmuls + masked reductions
+    # (ops/entrymask.py). None = auto (see compile.py), True = force
+    # (error if ineligible), False = forbid.
+    entry_mode: Optional[bool] = None
     # L-BFGS direction implementation: 'compact' (Byrd–Nocedal compact
     # representation — 3 MXU contractions/iter) or 'two_loop' (classic
     # recursion — 4k sequential dots/axpys). Identical math.

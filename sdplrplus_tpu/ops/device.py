@@ -55,6 +55,16 @@ class DeviceProblem:
     # dense MXU mode: C as a dense (n_pad, n_pad) matrix (None on the
     # sparse/gather path); see compile.py dense-mode selection
     C_dense: jax.Array = None
+    # entrywise dense-mask mode (ops/entrymask.py); all None when the
+    # mode was not compiled in (compile.py entry-mode selection)
+    entry_gids: jax.Array = None   # (m_e,)
+    entry_rows: jax.Array = None   # (m_e,)
+    entry_cols: jax.Array = None   # (m_e,)
+    ew_c2: jax.Array = None        # (n_pad, n_pad)
+    ew_v1: jax.Array = None        # (n_pad, n_pad)
+    ew_h: jax.Array = None         # (n_pad, n_pad)
+    ew_C: jax.Array = None         # (n_pad, n_pad) dense C (None: C low-rank)
+    extra_wide_w: jax.Array = None  # (n_exw, n_pad)
 
     # -- static metadata ------------------------------------------------------
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -67,6 +77,7 @@ class DeviceProblem:
     diag_width: int = dataclasses.field(metadata=dict(static=True), default=0)
     all_cons_diagonal: bool = dataclasses.field(metadata=dict(static=True), default=False)
     wide_gids: tuple = dataclasses.field(metadata=dict(static=True), default=())
+    extra_gids: tuple = dataclasses.field(metadata=dict(static=True), default=())
     # when set, the ops run inside shard_map over this mesh axis: factors
     # and nnz arrays are device-local shards; scalar reductions psum and
     # the factor row support is all-gathered (SURVEY §5 collectives)
@@ -115,6 +126,17 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         vio_lb=f(cp.vio_lb),
         lowrank=lr,
         C_dense=f(cp.C_dense) if cp.C_dense is not None else None,
+        entry_gids=i(cp.entry_gids) if cp.entry_gids is not None else None,
+        entry_rows=i(cp.entry_rows) if cp.entry_rows is not None else None,
+        entry_cols=i(cp.entry_cols) if cp.entry_cols is not None else None,
+        ew_c2=f(cp.ew_c2) if cp.ew_c2 is not None else None,
+        ew_v1=f(cp.ew_v1) if cp.ew_v1 is not None else None,
+        ew_h=f(cp.ew_h) if cp.ew_h is not None else None,
+        ew_C=f(cp.ew_C) if cp.ew_C is not None else None,
+        extra_wide_w=(
+            f(cp.extra_wide_w) if cp.extra_wide_w is not None else None
+        ),
+        extra_gids=tuple(cp.extra_gids),
         n=cp.n,
         m=cp.m,
         n_pad=cp.n_pad,

@@ -1,0 +1,214 @@
+"""Entrywise dense-mask kernels: the inner-loop math for single-entry
+constraint families (e.g. Lovász-θ) as MXU matmuls + masked reductions.
+
+Motivation (measured on v5e, see docs/DESIGN.md): the general gather
+path samples UUᵀ at the aggregate nnz pattern and reduces per
+constraint — every hot op runs at the hardware gather rate (~3 ns/index),
+two orders of magnitude below the MXU. When every narrow constraint
+touches exactly ONE upper-triangular position (Lovász-θ's edge
+constraints X_ij = 0, reference: test/problem.jl:43-65), the per-
+constraint vectors can be laid out as dense masked (n_pad, n_pad)
+matrices instead:
+
+  * constraint violations  v_e  ->  v_ew[i,j] = v_e at the entry's two
+    symmetric positions (0 elsewhere),
+  * duals                  λ_e  ->  Λ_ew likewise,
+  * the S assembly Σ yᵢAᵢ becomes the ELEMENTWISE product
+    ew_v1 ∘ (σ·v_ew − Λ_ew) — no gathers, no index maps,
+  * line-search products 𝒜(RDᵀ+DRᵀ) / 𝒜(DDᵀ) become ew_c2 ∘ (RDᵀ+DRᵀ)
+    and ew_c2 ∘ DDᵀ — two n²r MXU matmuls,
+  * every quartic-coefficient dot over constraints Σₑ aₑbₑ becomes the
+    masked reduction Σ H ∘ a_ew ∘ b_ew with H = ½ off-diagonal / 1
+    diagonal (each off-diagonal constraint appears at both symmetric
+    positions).
+
+Wide diagonal constraints (Lovász-θ's trace, reference:
+test/problem.jl:60-62) and low-rank constraints stay as a tiny "extra"
+slot vector whose forward values are row-sum reductions / tall-skinny
+contractions. The m-vector is materialized ONLY at chunk/major
+boundaries (entry_split/entry_merge) — never inside the inner loop.
+
+Equality-only (the exact quartic line search applies,
+reference: src/linesearch.jl:4-127); compile.py enforces eligibility.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .device import DeviceProblem
+
+
+def entry_enabled(dp: DeviceProblem) -> bool:
+    return dp.ew_c2 is not None
+
+
+def _n_extra_wide(dp: DeviceProblem) -> int:
+    return 0 if dp.extra_wide_w is None else dp.extra_wide_w.shape[0]
+
+
+def _extra_lowrank(dp: DeviceProblem):
+    """Low-rank constraint terms (gid != m) paired with their slot index in
+    the extras vector (extras order: wide first, then low-rank by gid)."""
+    nw = _n_extra_wide(dp)
+    by_gid = {t.gid: t for t in dp.lowrank if t.gid != dp.m}
+    return [(nw + i, by_gid[g]) for i, g in enumerate(dp.extra_gids[nw:])]
+
+
+# --------------------------------------------------------------------------
+# m-vector <-> dense-mask conversions (chunk/major boundaries only)
+# --------------------------------------------------------------------------
+
+def entry_split(dp: DeviceProblem, vio_raw: jax.Array):
+    """(m+1,) raw violations -> (v_ew [n,n], v_ex [n_ex], obj)."""
+    v = vio_raw[: dp.m]
+    ve = v[dp.entry_gids]
+    n_pad = dp.ew_c2.shape[0]
+    v_ew = jnp.zeros((n_pad, n_pad), vio_raw.dtype)
+    v_ew = v_ew.at[dp.entry_rows, dp.entry_cols].set(ve)
+    v_ew = v_ew.at[dp.entry_cols, dp.entry_rows].set(ve)
+    if dp.extra_gids:
+        v_ex = v[jnp.asarray(dp.extra_gids)]
+    else:
+        v_ex = jnp.zeros((0,), vio_raw.dtype)
+    return v_ew, v_ex, vio_raw[dp.m]
+
+
+def entry_merge(dp: DeviceProblem, v_ew, v_ex, obj) -> jax.Array:
+    """Inverse of entry_split -> (m+1,) with slot m = obj."""
+    vals = jnp.zeros((dp.m + 1,), v_ew.dtype)
+    vals = vals.at[dp.entry_gids].set(v_ew[dp.entry_rows, dp.entry_cols])
+    if dp.extra_gids:
+        vals = vals.at[jnp.asarray(dp.extra_gids)].set(v_ex)
+    return vals.at[dp.m].set(obj)
+
+
+def entry_lam(dp: DeviceProblem, lam: jax.Array):
+    """λ (m,) -> (Λ_ew [n,n], lam_ex [n_ex]) — loop-invariant inside a
+    major iteration."""
+    le = lam[dp.entry_gids]
+    n_pad = dp.ew_c2.shape[0]
+    L = jnp.zeros((n_pad, n_pad), lam.dtype)
+    L = L.at[dp.entry_rows, dp.entry_cols].set(le)
+    L = L.at[dp.entry_cols, dp.entry_rows].set(le)
+    if dp.extra_gids:
+        lam_ex = lam[jnp.asarray(dp.extra_gids)]
+    else:
+        lam_ex = jnp.zeros((0,), lam.dtype)
+    return L, lam_ex
+
+
+# --------------------------------------------------------------------------
+# inner-loop kernels
+# --------------------------------------------------------------------------
+
+def apply_C_entry(dp: DeviceProblem, X: jax.Array) -> jax.Array:
+    """C @ X: dense MXU matmul for sparse C, tall-skinny contraction for
+    low-rank C (the gid == m term)."""
+    out = dp.ew_C @ X if dp.ew_C is not None else jnp.zeros_like(X)
+    for t in dp.lowrank:
+        if t.gid == dp.m:
+            out = out + t.B @ (t.d[:, None] * (t.B.T @ X))
+    return out
+
+
+def gradient_entry(dp: DeviceProblem, R, CR, v_ew, v_ex, Lam_ew, lam_ex,
+                   sigma) -> jax.Array:
+    """G = 2·S·R with S = C + Σ yᵢAᵢ, y = -(λ - σv) (equality form of
+    reference src/coreop.jl:229-317). The entrywise part of S is the
+    elementwise ew_v1 ∘ (σ·v_ew − Λ_ew); CR = C@R is maintained
+    incrementally by the caller (one matmul per line search serves both
+    the objective slope and this term)."""
+    S_ew = dp.ew_v1 * (sigma * v_ew - Lam_ew)
+    G = S_ew @ R + CR
+    nw = _n_extra_wide(dp)
+    y_ex = -(lam_ex - sigma * v_ex)
+    if nw:
+        G = G + (y_ex[:nw] @ dp.extra_wide_w)[:, None] * R
+    for idx, t in _extra_lowrank(dp):
+        G = G + y_ex[idx] * (t.B @ (t.d[:, None] * (t.B.T @ R)))
+    return 2.0 * G
+
+
+class EntryLS(NamedTuple):
+    alpha: jax.Array
+    L_new: jax.Array
+    v_ew: jax.Array
+    v_ex: jax.Array
+    obj: jax.Array
+    CD: jax.Array  # C @ D, for the caller's incremental CR update
+
+
+def linesearch_entry(dp: DeviceProblem, R, D, v_ew, v_ex, obj,
+                     Lam_ew, lam_ex, sigma, alpha_max=1.0) -> EntryLS:
+    """Exact quartic line search in dense-mask form
+    (reference: src/linesearch.jl:4-127). The two forward products are
+    q1 = 𝒜(RDᵀ+DRᵀ) = ew_c2 ∘ (RDᵀ+DRᵀ) and q2 = 𝒜(DDᵀ) = ew_c2 ∘ DDᵀ;
+    every coefficient dot over constraints is the masked reduction
+    Σ H ∘ a ∘ b (+ the tiny extras dot). Commits the step algebraically
+    like the reference (src/linesearch.jl:114-126)."""
+    from .cubic import minimize_quartic
+
+    H = dp.ew_h
+    M = R @ D.T
+    q1_ew = dp.ew_c2 * (M + M.T)          # 𝒜(RDᵀ+DRᵀ) at entries
+    q2_ew = dp.ew_c2 * (D @ D.T)          # 𝒜(DDᵀ) at entries
+
+    # extras: wide diagonal constraints are row-sum reductions ...
+    nw = _n_extra_wide(dp)
+    n_ex = len(dp.extra_gids)
+    q1_ex = jnp.zeros((n_ex,), R.dtype)
+    q2_ex = jnp.zeros((n_ex,), R.dtype)
+    if nw:
+        rd = 2.0 * jnp.sum(R * D, axis=1)  # diag(RDᵀ+DRᵀ)
+        dd = jnp.sum(D * D, axis=1)
+        q1_ex = q1_ex.at[:nw].set(dp.extra_wide_w @ rd)
+        q2_ex = q2_ex.at[:nw].set(dp.extra_wide_w @ dd)
+    # ... and low-rank constraints tall-skinny contractions
+    for idx, t in _extra_lowrank(dp):
+        rb = R.T @ t.B
+        db = D.T @ t.B
+        q1_ex = q1_ex.at[idx].set(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
+        q2_ex = q2_ex.at[idx].set(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
+
+    # objective slope terms: one matmul CD serves p1, p2 AND the caller's
+    # incremental CR update
+    CD = apply_C_entry(dp, D)
+    p1 = 2.0 * jnp.vdot(R, CD)
+    p2 = jnp.vdot(D, CD)
+
+    def cdot(a_ew, b_ew, a_ex, b_ex):
+        return jnp.sum(H * a_ew * b_ew) + jnp.dot(a_ex, b_ex)
+
+    # quartic coefficients (reference: src/linesearch.jl:20-56)
+    e = (obj - cdot(Lam_ew, v_ew, lam_ex, v_ex)
+         + sigma * cdot(v_ew, v_ew, v_ex, v_ex) / 2.0)
+    d1 = (p1 - cdot(Lam_ew, q1_ew, lam_ex, q1_ex)
+          + sigma * cdot(v_ew, q1_ew, v_ex, q1_ex))
+    c1 = (p2 - cdot(Lam_ew - sigma * v_ew, q2_ew, lam_ex - sigma * v_ex, q2_ex)
+          + sigma * cdot(q1_ew, q1_ew, q1_ex, q1_ex) / 2.0)
+    b1 = sigma * cdot(q1_ew, q2_ew, q1_ex, q2_ex)
+    a1 = sigma * cdot(q2_ew, q2_ew, q2_ex, q2_ex) / 2.0
+
+    alpha, f_star = minimize_quartic(
+        (e, d1, c1, b1, a1), jnp.asarray(alpha_max, dtype=R.dtype)
+    )
+
+    return EntryLS(
+        alpha=alpha,
+        L_new=f_star,
+        v_ew=v_ew + alpha * (alpha * q2_ew + q1_ew),
+        v_ex=v_ex + alpha * (alpha * q2_ex + q1_ex),
+        obj=obj + alpha * (alpha * p2 + p1),
+        CD=CD,
+    )
+
+
+def vio_norm_entry(dp: DeviceProblem, v_ew, v_ex, pscale) -> jax.Array:
+    """‖v‖₂ over constraints (equality-only: no capping,
+    reference: src/coreop.jl:22)."""
+    sq = jnp.sum(dp.ew_h * v_ew * v_ew) + jnp.dot(v_ex, v_ex)
+    return jnp.sqrt(sq) / pscale

@@ -55,7 +55,15 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
             raise ValueError(f"{name}={dim} not divisible by {nd} devices")
 
     dp = to_device(cp, dtype)
-    dp = dataclasses.replace(dp, spmd_axis=AXIS)
+    # the entrywise dense-mask mode is single-device for now (its masks
+    # would need row-sharding plus a transposed all-gather); drop it so
+    # the shard_map path runs the general kernels
+    dp = dataclasses.replace(
+        dp, spmd_axis=AXIS,
+        entry_gids=None, entry_rows=None, entry_cols=None,
+        ew_c2=None, ew_v1=None, ew_h=None, ew_C=None,
+        extra_wide_w=None, extra_gids=(),
+    )
 
     nnz = P(AXIS)
     row = P(AXIS, None)

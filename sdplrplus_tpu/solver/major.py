@@ -129,6 +129,23 @@ def major_chunk_impl(
             )
             ic2 = ic2._replace(steps=c.ic.steps + ic2.steps)
             return c._replace(ic=ic2)
+    elif getattr(dp, "ew_c2", None) is not None:
+        # entrywise dense-mask inner loop (ops/entrymask.py): one
+        # activation runs a whole inner sub-loop in dense-mask form;
+        # m-vector conversions happen only at this boundary
+        from .inner_entry import entry_chunk_traced
+
+        def inner_branch(c: MajorCarry) -> MajorCarry:
+            remaining = jnp.maximum(budget - c.ic.steps, 0)
+            ic2, _ = entry_chunk_traced(
+                dp, c.ic.R, c.ic.G, c.ic.vio_raw, c.ic.L_val,
+                c.ic.grad_norm, c.ic.lbfgs, c.lam, c.sigma, c.cur_gtol,
+                stag_tol, remaining,
+                k=k, gtol_relative=gtol_relative,
+                ptol_relative=ptol_relative, lbfgs_compact=lbfgs_compact,
+            )
+            ic2 = ic2._replace(steps=c.ic.steps + ic2.steps)
+            return c._replace(ic=ic2)
     else:
         def inner_branch(c: MajorCarry) -> MajorCarry:
             ic2 = inner_step(

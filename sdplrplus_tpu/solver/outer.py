@@ -103,7 +103,7 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
 
     t_pre = time.time()
     dtype = resolve_dtype(config)
-    cp = compile_problem(prob, dense=config.dense_mode)
+    cp = compile_problem(prob, dense=config.dense_mode, entry=config.entry_mode)
     dp = to_device(cp, dtype)
     preprocess_time = time.time() - t_pre
 
@@ -440,6 +440,17 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                     R, lbfgs, lam, jnp.asarray(sigma, dtype),
                     jnp.asarray(cur_gtol, dtype), jnp.asarray(stag_tol, dtype),
                     jnp.asarray(steps, jnp.int32),
+                )
+            elif getattr(dp, "ew_c2", None) is not None:
+                # entrywise dense-mask inner loop (ops/entrymask.py)
+                from .inner_entry import entry_chunk
+
+                carry, pnorm_d = entry_chunk(
+                    dp, R, G, vio_raw, L_val,
+                    jnp.asarray(grad_norm, dtype),
+                    lbfgs, lam, sigma, cur_gtol, stag_tol, steps,
+                    k=k, gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+                    lbfgs_compact=config.lbfgs_impl == "compact",
                 )
             else:
                 carry, pnorm_d = inner_chunk(
