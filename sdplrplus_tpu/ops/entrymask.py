@@ -207,6 +207,31 @@ def linesearch_entry(dp: DeviceProblem, R, D, v_ew, v_ex, obj,
     )
 
 
+def assemble_S_dense(dp: DeviceProblem, y_full: jax.Array) -> jax.Array:
+    """Dense S = Σᵢ yᵢAᵢ + y_m·C for the entry mode's Lanczos matvec: built
+    ONCE per dual bound (scatter of y at the entry positions + elementwise
+    weights + rank-s updates), after which every Lanczos iteration is a
+    single (n,n)@(n,1) MXU matvec instead of the gather-path apply_S —
+    the dual bound runs q ~ √iter·log n matvecs (reference:
+    src/coreop.jl:402), which dominated Lovász-θ solves once the inner
+    loop moved to dense-mask form."""
+    ye = y_full[dp.entry_gids]
+    n_pad = dp.ew_c2.shape[0]
+    Y = jnp.zeros((n_pad, n_pad), y_full.dtype)
+    Y = Y.at[dp.entry_rows, dp.entry_cols].set(ye)
+    Y = Y.at[dp.entry_cols, dp.entry_rows].set(ye)
+    S = dp.ew_v1 * Y
+    if dp.ew_C is not None:
+        S = S + y_full[dp.m] * dp.ew_C
+    nw = _n_extra_wide(dp)
+    if nw:
+        y_exw = y_full[jnp.asarray(dp.extra_gids[:nw])]
+        S = S + jnp.diag(y_exw @ dp.extra_wide_w)
+    for t in dp.lowrank:
+        S = S + y_full[t.gid] * ((t.B * t.d[None, :]) @ t.B.T)
+    return S
+
+
 def vio_norm_entry(dp: DeviceProblem, v_ew, v_ex, pscale) -> jax.Array:
     """‖v‖₂ over constraints (equality-only: no capping,
     reference: src/coreop.jl:22)."""

@@ -60,22 +60,29 @@ def _lanczos_v0(dp: DeviceProblem, key, dtype):
 
 
 def lanczos_alpha_beta_impl(
-    dp: DeviceProblem, s_tri, y_full, key, q, *, q_max: int
+    dp: DeviceProblem, s_tri, y_full, key, q, *, q_max: int, S_dense=None
 ):
     """Run min(q, q_max) Lanczos iterations on S; returns (alpha, beta, k_eff).
 
     alpha/beta are (q_max,) with valid prefix of length k_eff; β breakdown
     (|β| < √n·eps, reference: src/coreop.jl:494) stops the recurrence.
     Under shard_map v is row-sharded and every inner product psums.
+    ``S_dense``: pre-assembled dense S (entry mode,
+    ops/entrymask.assemble_S_dense) — each matvec becomes one MXU matmul.
     """
     dtype = s_tri.dtype
     v = _lanczos_v0(dp, key, dtype)
+
+    def matvec(v):
+        if S_dense is not None:
+            return S_dense @ v
+        return apply_S(dp, s_tri, y_full, v)
 
     breakdown_tol = jnp.sqrt(jnp.asarray(dp.n, dtype)) * jnp.finfo(dtype).eps
 
     def body(i, carry):
         v, v_prev, beta_prev, alpha, beta, done, k_eff = carry
-        Av = apply_S(dp, s_tri, y_full, v)
+        Av = matvec(v)
         a_i = _psum(jnp.vdot(v, Av), dp)
         Av = Av - a_i * v - beta_prev * v_prev
         b_i = jnp.sqrt(_psum(jnp.sum(Av * Av), dp))
@@ -111,19 +118,24 @@ lanczos_alpha_beta = functools.partial(jax.jit, static_argnames=("q_max",))(
 
 
 def lanczos_alpha_beta_reorth_impl(
-    dp: DeviceProblem, s_tri, y_full, key, *, q_max: int
+    dp: DeviceProblem, s_tri, y_full, key, *, q_max: int, S_dense=None
 ):
     """Lanczos with full reorthogonalization (high-precision path).
     Under shard_map the Krylov basis V is row-sharded like v."""
     dtype = s_tri.dtype
     v = _lanczos_v0(dp, key, dtype)
 
+    def matvec(v):
+        if S_dense is not None:
+            return S_dense @ v
+        return apply_S(dp, s_tri, y_full, v)
+
     V0 = jnp.zeros((q_max, v.shape[0]), dtype=dtype)
 
     def body(i, carry):
         v, v_prev, beta_prev, alpha, beta, V, done, k_eff = carry
         V = jnp.where(done, V, V.at[i].set(v[:, 0]))
-        Av = apply_S(dp, s_tri, y_full, v)
+        Av = matvec(v)
         a_i = _psum(jnp.vdot(v, Av), dp)
         Av = Av - a_i * v - beta_prev * v_prev
         # full reorthogonalization against all previous vectors (twice)

@@ -29,12 +29,19 @@ from ..ops.lanczos import (
 
 @jax.jit
 def _y_and_s(dp: DeviceProblem, lam, sigma, vio_raw):
+    """Returns (y_full, s_tri, S_dense): s_tri for the general gather-path
+    matvec, S_dense (entry mode) for the one-matmul-per-matvec path."""
     m = dp.m
     y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
     y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=lam.dtype)])
+    zero = jnp.zeros((1,), dtype=lam.dtype)
+    if getattr(dp, "ew_c2", None) is not None:
+        from ..ops.entrymask import assemble_S_dense
+
+        return y_full, zero, assemble_S_dense(dp, y_full)
     if getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
-        return y_full, jnp.zeros((1,), dtype=lam.dtype)
-    return y_full, assemble_s_tri(dp, y_full)
+        return y_full, zero, None
+    return y_full, assemble_s_tri(dp, y_full), None
 
 
 def dual_obj(
@@ -48,18 +55,19 @@ def dual_obj(
     highprecision: bool = False,
 ):
     """Returns (dual_value, min_eig, y_full) (reference: src/coreop.jl:376-415)."""
-    y_full, s_tri = _y_and_s(dp, lam, sigma, vio_raw)
+    y_full, s_tri, S_dense = _y_and_s(dp, lam, sigma, vio_raw)
 
     if highprecision:
         q_max = bucket_q_max(min(max(100, 2 * lanczos_q(iter_count, dp.n)), dp.n))
         alpha, beta, k_eff = lanczos_alpha_beta_reorth(
-            dp, s_tri, y_full, key, q_max=q_max
+            dp, s_tri, y_full, key, q_max=q_max, S_dense=S_dense
         )
     else:
         q = lanczos_q(iter_count, dp.n)
         q_max = bucket_q_max(q)
         alpha, beta, k_eff = lanczos_alpha_beta(
-            dp, s_tri, y_full, key, jnp.asarray(q, jnp.int32), q_max=q_max
+            dp, s_tri, y_full, key, jnp.asarray(q, jnp.int32), q_max=q_max,
+            S_dense=S_dense,
         )
 
     min_eig = tridiag_min_eig(

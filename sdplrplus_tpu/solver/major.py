@@ -160,13 +160,20 @@ def major_chunk_impl(
         entirely on device via Sturm bisection for the tridiagonal eig."""
         y_head = -jnp.minimum(dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m])
         y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=dtype)])
-        if getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
+        S_dense = None
+        if getattr(dp, "ew_c2", None) is not None:
+            # entry mode: assemble S densely ONCE, matvecs become matmuls
+            from ..ops.entrymask import assemble_S_dense
+
+            s_tri = jnp.zeros((1,), dtype=dtype)
+            S_dense = assemble_S_dense(dp, y_full)
+        elif getattr(dp, "fn_apply_S", None) is not None or dp.all_cons_diagonal:
             s_tri = jnp.zeros((1,), dtype=dtype)
         else:
             s_tri = assemble_s_tri(dp, y_full)
         if highprecision:
             alpha, beta, k_eff = lanczos_alpha_beta_reorth_impl(
-                dp, s_tri, y_full, sub, q_max=q_max
+                dp, s_tri, y_full, sub, q_max=q_max, S_dense=S_dense
             )
         else:
             # q = 2⌈max(iter,100)^0.5·log n⌉ (reference: src/coreop.jl:402)
@@ -174,7 +181,7 @@ def major_chunk_impl(
             q = 2.0 * jnp.ceil(jnp.sqrt(it) * logn)
             q = jnp.clip(q, 1, min(q_max, dp.n - 1)).astype(jnp.int32)
             alpha, beta, k_eff = lanczos_alpha_beta_impl(
-                dp, s_tri, y_full, sub, q, q_max=q_max
+                dp, s_tri, y_full, sub, q, q_max=q_max, S_dense=S_dense
             )
         min_eig = tridiag_min_eig_device(alpha, beta, k_eff)
         yb = jnp.dot(y_full[:m], dp.b)

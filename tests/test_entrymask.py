@@ -171,6 +171,24 @@ def test_e2e_lovasz_theta_entry_matches_general(fused):
     assert res_e["primal_vio"] <= 1e-4 + 1e-10
 
 
+def test_assemble_S_dense_matches_apply_S():
+    from sdplrplus_tpu.ops.adjoint import apply_S, assemble_s_tri
+    from sdplrplus_tpu.ops.entrymask import assemble_S_dense
+
+    for gen in (lovasz_theta, minimum_bisection):
+        prob = _problem(gen, n=11, p=0.5, seed=9)
+        dpe, dpg = _pair(prob)
+        rng = np.random.default_rng(11)
+        y_full = jnp.asarray(rng.normal(size=prob.m + 1))
+        x = jnp.asarray(rng.normal(size=(dpg.n_pad, 2)))
+        x = x.at[prob.n :].set(0.0)
+        s_tri = assemble_s_tri(dpg, y_full)
+        ref = apply_S(dpg, s_tri, y_full, x)
+        S = assemble_S_dense(dpe, y_full)
+        np.testing.assert_allclose(np.asarray(S @ x), np.asarray(ref), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(S), np.asarray(S).T, atol=1e-12)
+
+
 def test_e2e_maxcut_k2_entry_forced():
     # K2 MaxCut: obj = -1 (reference: test/maxcut.jl:24); entry mode can
     # be forced even for diagonal families
