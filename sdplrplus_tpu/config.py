@@ -34,6 +34,11 @@ class SolverConfig:
     numlbfgsvecs: int = 4
     fprec: float = 1e8            # stagnation break: rel ΔL < fprec * eps
     rankupd_tol: int = 4          # majoriters w/o gap progress before rank x2
+    # rank doubling: 'warm' keeps the converged factor and appends small
+    # random columns (plus λ/σ/tolerance state), so the solver only has
+    # to learn the new directions; 'restart' re-draws R and resets all
+    # schedule state like the reference (src/coreop.jl:518-526).
+    rank_update_mode: str = "warm"
 
     # -- problem knowledge (src/options.jl:15) --------------------------------
     prior_trace_bound: float = 1e18
@@ -48,6 +53,13 @@ class SolverConfig:
     # False: randomized Lanczos (default). True: high-precision path
     # (Lanczos with full reorthogonalization + more iterations).
     eigval_highprecision: bool = False
+    # Residual safeguard for the dual bound: subtract the Lanczos Ritz
+    # residual β_k·|s_k| (plus ulp slack) from the λ_min estimate before
+    # forming the dual value, so reported duality gaps are certified in
+    # practice and termination can't fire on an unconverged eigensolve.
+    # The reference uses the raw Ritz value (src/coreop.jl:503-511),
+    # which can over-shoot λ_min and yield negative "gaps".
+    dual_safeguard: bool = True
 
     # -- custom initialization (src/options.jl:19-20) -------------------------
     # init_func(problem, r, *init_args) -> (R0 [n, r], lam0 [m])
@@ -104,6 +116,11 @@ class SolverConfig:
             raise ValueError(
                 f"lbfgs_impl must be 'compact' or 'two_loop', got "
                 f"{cfg.lbfgs_impl!r}"
+            )
+        if cfg.rank_update_mode not in ("warm", "restart"):
+            raise ValueError(
+                f"rank_update_mode must be 'warm' or 'restart', got "
+                f"{cfg.rank_update_mode!r}"
             )
         if cfg.inner_impl not in ("auto", "mega", "xla"):
             raise ValueError(

@@ -174,6 +174,44 @@ lanczos_alpha_beta_reorth = functools.partial(
 )(lanczos_alpha_beta_reorth_impl)
 
 
+def tridiag_min_eig_resid(
+    alpha: np.ndarray, beta: np.ndarray, k_eff: int
+) -> tuple:
+    """(θ_min, margin) for the leading k_eff block of the Lanczos
+    tridiagonal — host-side, float64.
+
+    θ_min is the smallest Ritz value; it is an UPPER bound on λ_min(S)
+    (Rayleigh–Ritz), so the raw value can over-certify the dual bound
+    (the round-1 negative-duality-gap bug). ``margin`` is the residual
+    safeguard β_k·|s_k| (‖S·Vs − θ·Vs‖ for the Ritz pair) plus a few-ulp
+    slack for the finite-precision recurrence; ``θ_min − margin`` is the
+    safeguarded estimate used for the certified dual value. The
+    reference uses the raw Ritz value (src/coreop.jl:503-511) — this is
+    deliberately stricter.
+    """
+    k = int(k_eff)
+    if k <= 0:
+        return 0.0, 0.0
+    a = np.asarray(alpha[:k], dtype=np.float64)
+    bfull = np.asarray(beta[:k], dtype=np.float64)
+    scale = float(np.max(np.abs(a)) + 2.0 * np.max(np.abs(bfull))) + 1.0
+    slack = 32.0 * float(np.finfo(np.asarray(alpha).dtype).eps) * scale
+    if k == 1:
+        return float(a[0]), abs(float(bfull[0])) + slack
+    b = bfull[: k - 1]
+    try:
+        from scipy.linalg import eigh_tridiagonal
+
+        w, v = eigh_tridiagonal(a, b, select="i", select_range=(0, 0))
+        theta, s_last = float(w[0]), float(v[-1, 0])
+    except Exception:
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        w, V = np.linalg.eigh(T)
+        theta, s_last = float(w[0]), float(V[-1, 0])
+    margin = abs(float(bfull[k - 1])) * abs(s_last) + slack
+    return theta, margin
+
+
 def tridiag_min_eig(alpha: np.ndarray, beta: np.ndarray, k_eff: int) -> float:
     """Smallest eigenvalue of the k_eff×k_eff symmetric tridiagonal matrix
     (host-side; equivalent of the reference's symeigs(:SA) on the
@@ -196,10 +234,13 @@ def tridiag_min_eig(alpha: np.ndarray, beta: np.ndarray, k_eff: int) -> float:
 
 
 def lanczos_q(iter_count: int, n: int) -> int:
-    """Iteration budget q = 2·⌈max(iter,100)^0.5 · log n⌉, capped at n-1
-    (reference: src/coreop.jl:402,465)."""
+    """Iteration budget q = 2·⌈max(iter,100)^0.5 · log n⌉ (reference:
+    src/coreop.jl:402,465). Capped at n (NOT n-1 like the reference): the
+    full-Krylov run makes the tridiagonal eigenproblem exact on small
+    problems, which the certified dual bound needs — at q = n-1 the
+    residual-safeguarded estimate can still overshoot λ_min."""
     q = int(2 * np.ceil(np.sqrt(max(iter_count, 100)) * np.log(max(n, 2))))
-    return max(min(q, n - 1), 1)
+    return max(min(q, n), 1)
 
 
 def bucket_q_max(q: int, base: int = 64) -> int:
@@ -257,3 +298,74 @@ def tridiag_min_eig_device(alpha, beta, k_eff, iters: int = 80):
 
     lo, hi = lax.fori_loop(0, iters, bisect, (lo, hi))
     return 0.5 * (lo + hi)
+
+
+def _tridiag_solve(d, e, rhs, active):
+    """Thomas-algorithm solve of the tridiagonal system diag(d) +
+    off-diag(e) (e[i] couples rows i, i+1); rows past the active prefix
+    are identity. Pivots are clamped away from zero so a shift AT the
+    eigenvalue still produces a finite (huge, correctly-directed)
+    inverse-iteration step — exactly what inverse iteration wants."""
+    q_max = d.shape[0]
+    dtype = d.dtype
+    scale = jnp.max(jnp.abs(d)) + 2.0 * jnp.max(jnp.abs(e)) + 1.0
+    tiny = jnp.finfo(dtype).eps * scale
+
+    def clamp(x):
+        return jnp.where(
+            jnp.abs(x) < tiny, jnp.where(x < 0, -tiny, tiny), x
+        )
+
+    def fwd(i, carry):
+        dd, bb = carry
+        w = jnp.where(i > 0, e[i - 1] / dd[i - 1], jnp.zeros((), dtype))
+        ddi = clamp(d[i] - w * jnp.where(i > 0, e[i - 1], 0.0))
+        bbi = rhs[i] - w * bb[i - 1]
+        return dd.at[i].set(ddi), bb.at[i].set(bbi)
+
+    dd0 = jnp.ones((q_max,), dtype)
+    dd, bb = lax.fori_loop(0, q_max, fwd, (dd0, jnp.zeros((q_max,), dtype)))
+
+    def bwd(j, x):
+        i = q_max - 1 - j
+        xi = (bb[i] - jnp.where(i + 1 < q_max, e[i] * x[i + 1], 0.0)) / dd[i]
+        return x.at[i].set(xi)
+
+    x = lax.fori_loop(0, q_max, bwd, jnp.zeros((q_max,), dtype))
+    return jnp.where(active, x, 0.0)
+
+
+def tridiag_min_eig_device_certified(alpha, beta, k_eff, iters: int = 80):
+    """(θ_min, margin) — device analog of ``tridiag_min_eig_resid``:
+    Sturm bisection for the smallest Ritz value, then two inverse-
+    iteration solves (Thomas algorithm) for the eigenvector's last
+    component, giving the residual safeguard margin β_k·|s_k| + slack.
+    The certified λ_min estimate is θ_min − margin; the fused driver's
+    dual bound uses it so convergence certificates stay valid
+    (round-1 fix: raw Ritz values over-shot λ_min on 7/36 sweep runs)."""
+    q_max = alpha.shape[0]
+    dtype = alpha.dtype
+    theta = tridiag_min_eig_device(alpha, beta, k_eff, iters)
+
+    idx = jnp.arange(q_max)
+    active = idx < k_eff
+    e = jnp.where(idx + 1 < k_eff, beta, 0.0)
+    d = jnp.where(active, alpha - theta, jnp.ones((), dtype))
+
+    nrm = lambda v: jnp.sqrt(jnp.maximum(jnp.sum(v * v), jnp.finfo(dtype).tiny))
+    x = jnp.where(active, jnp.ones((q_max,), dtype), 0.0)
+    x = x / nrm(x)
+    for _ in range(2):
+        x = _tridiag_solve(d, e, x, active)
+        x = x / nrm(x)
+
+    last = jnp.sum(jnp.where(idx == k_eff - 1, x, 0.0))
+    beta_last = jnp.sum(jnp.where(idx == k_eff - 1, beta, 0.0))
+    scale = (
+        jnp.max(jnp.abs(jnp.where(active, alpha, 0.0)))
+        + 2.0 * jnp.max(jnp.abs(e))
+        + 1.0
+    )
+    slack = 32.0 * jnp.finfo(dtype).eps * scale
+    margin = jnp.abs(beta_last) * jnp.abs(last) + slack
+    return theta, jnp.where(k_eff > 0, margin, jnp.zeros((), dtype))

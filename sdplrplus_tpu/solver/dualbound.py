@@ -24,7 +24,11 @@ from ..ops.lanczos import (
     lanczos_alpha_beta_reorth,
     lanczos_q,
     tridiag_min_eig,
+    tridiag_min_eig_device_certified,
+    tridiag_min_eig_resid,
 )
+
+_cert_eig = jax.jit(tridiag_min_eig_device_certified)
 
 
 @jax.jit
@@ -53,8 +57,15 @@ def dual_obj(
     iter_count: int,
     key,
     highprecision: bool = False,
+    safeguard: bool = True,
 ):
-    """Returns (dual_value, min_eig, y_full) (reference: src/coreop.jl:376-415)."""
+    """Returns (dual_value, min_eig, y_full) (reference: src/coreop.jl:376-415).
+
+    With ``safeguard`` (default) the Lanczos Ritz value is corrected by
+    its residual bound β_k·|s_k| before entering the dual value, so the
+    reported dual is a certified-in-practice LOWER estimate and duality
+    gaps cannot go negative from an unconverged eigensolve (round-1 fix;
+    the reference uses the raw Ritz value, src/coreop.jl:503-511)."""
     y_full, s_tri, S_dense = _y_and_s(dp, lam, sigma, vio_raw)
 
     if highprecision:
@@ -70,9 +81,15 @@ def dual_obj(
             S_dense=S_dense,
         )
 
-    min_eig = tridiag_min_eig(
-        np.asarray(alpha), np.asarray(beta), int(k_eff)
-    )
+    if safeguard:
+        # same device algorithm (Sturm bisection + inverse iteration) the
+        # fused driver uses, so both drivers report identical duals
+        theta_d, margin_d = _cert_eig(alpha, beta, k_eff)
+        min_eig = float(theta_d) - float(margin_d)
+    else:
+        min_eig = tridiag_min_eig(
+            np.asarray(alpha), np.asarray(beta), int(k_eff)
+        )
     yb = float(jnp.dot(y_full[: dp.m], dp.b))
     dual_value = -yb + float(trace_bound) * min(min_eig, 0.0)
     return dual_value, min_eig, y_full
@@ -97,9 +114,11 @@ def dimacs_errors(dp: DeviceProblem, R, lam, vio_raw, obj, key) -> np.ndarray:
     alpha, beta, k_eff = lanczos_alpha_beta_reorth(
         dp, s_tri, y_full, key, q_max=q_max
     )
-    min_eig = tridiag_min_eig(np.asarray(alpha), np.asarray(beta), int(k_eff))
-
-    err4 = max(0.0, -min_eig) / (1.0 + dp.normC)
+    min_eig, margin = tridiag_min_eig_resid(
+        np.asarray(alpha), np.asarray(beta), int(k_eff)
+    )
+    # conservative: under-estimate λ_min so err4 is never optimistic
+    err4 = max(0.0, -(min_eig - margin)) / (1.0 + dp.normC)
     bty = float(jnp.dot(lam, dp.b))
     obj = float(obj)
     err5 = (obj - bty) / (1.0 + abs(obj) + abs(bty))

@@ -40,6 +40,7 @@ from ..ops.lanczos import (
     lanczos_alpha_beta_impl,
     lanczos_alpha_beta_reorth_impl,
     tridiag_min_eig_device,
+    tridiag_min_eig_device_certified,
 )
 from .al import al_value_grad, capped_vio
 from .inner import InnerCarry, inner_step
@@ -95,6 +96,7 @@ def major_chunk_impl(
     objtol_relative: bool,
     q_max: int,
     highprecision: bool,
+    dual_safeguard: bool = True,
     lbfgs_compact: bool = True,
     mega_spec=None,       # static ops/megakernel.MegaSpec: inner loop runs
     mega_r: int = 0,      # as ONE Pallas megakernel call per activation
@@ -179,11 +181,21 @@ def major_chunk_impl(
             # q = 2⌈max(iter,100)^0.5·log n⌉ (reference: src/coreop.jl:402)
             it = jnp.maximum(base_iter + c.ic.steps, 100).astype(dtype)
             q = 2.0 * jnp.ceil(jnp.sqrt(it) * logn)
-            q = jnp.clip(q, 1, min(q_max, dp.n - 1)).astype(jnp.int32)
+            q = jnp.clip(q, 1, min(q_max, dp.n)).astype(jnp.int32)
             alpha, beta, k_eff = lanczos_alpha_beta_impl(
                 dp, s_tri, y_full, sub, q, q_max=q_max, S_dense=S_dense
             )
-        min_eig = tridiag_min_eig_device(alpha, beta, k_eff)
+        if dual_safeguard:
+            # residual-safeguarded λ_min estimate: θ_min − β_k·|s_k| − slack
+            # so the dual value is a valid lower bound in practice and the
+            # gap-based termination certificate cannot fire on an
+            # unconverged eigensolve (round-1 negative-gap fix)
+            theta, res_margin = tridiag_min_eig_device_certified(
+                alpha, beta, k_eff
+            )
+            min_eig = theta - res_margin
+        else:
+            min_eig = tridiag_min_eig_device(alpha, beta, k_eff)
         yb = jnp.dot(y_full[:m], dp.b)
         dual = -yb + trace_bound * jnp.minimum(min_eig, 0.0)
         return dual, y_head
@@ -285,7 +297,8 @@ major_chunk = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "use_armijo", "gtol_relative", "ptol_relative",
-        "objtol_relative", "q_max", "highprecision", "lbfgs_compact",
+        "objtol_relative", "q_max", "highprecision", "dual_safeguard",
+        "lbfgs_compact",
         "mega_spec", "mega_r", "mega_interpret",
     ),
 )(major_chunk_impl)
