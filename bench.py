@@ -130,6 +130,16 @@ def run_bench(graph="G1", dtype="float32"):
     res = sdplr(C, As, b, 10, ptol=1e-2, objtol=1e-2, maxtime=600.0, **common)
     wall = time.time() - t0
 
+    # timing sanity: fail loudly rather than print absurd headline JSON
+    # (BENCH_r02 reported dual_time > totaltime and negative primal time)
+    total, dual, primal = res["totaltime"], res["dual_time"], res["primaltime"]
+    assert 0.0 <= dual <= total, f"dual_time {dual} outside [0, {total}]"
+    assert primal >= 0.0, f"negative primaltime {primal}"
+    assert abs((primal + dual + res.get("preprocess_time", 0.0)) - total) <= (
+        0.05 * total + 1e-6
+    ), f"primal {primal} + dual {dual} != total {total}"
+    assert res["iter"] > 0 and total > 0
+
     return {
         "graph": graph,
         "n": n,
@@ -140,7 +150,7 @@ def run_bench(graph="G1", dtype="float32"):
         "majoriter": res["majoriter"],
         "device_al_iters_per_sec": iters_per_sec,
         "inner_engine": engine,
-        "e2e_al_iters_per_sec": res["iter"] / max(res["primaltime"], 1e-9),
+        "e2e_al_iters_per_sec": res["iter"] / total,
         "time_to_tol_s": wall,
         "primal_time_s": res["primaltime"],
         "dual_time_s": res["dual_time"],

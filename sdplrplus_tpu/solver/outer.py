@@ -295,7 +295,10 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             r = next_rank(r, n, m)
             if config.printlevel > 0:
                 print(f"rank doubled, new rank is {r}.")
-            if config.rank_update_mode == "warm":
+            if config.rank_update_mode == "warm" and config.init_func is None:
+                # a user init_func takes precedence over warm-starting:
+                # the reference re-inits through it on every rank update
+                # (src/coreop.jl:518-526 → src/structs.jl:231-234)
                 R = _warm_vars(dp, carry.ic.R, r, rng, dtype)
                 newc = init_major_carry(
                     dp, R, carry.lam, float(carry.sigma),
@@ -332,26 +335,26 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     grad_norm = float(carry.ic.grad_norm)
 
     # ---- dual-time attribution (BASELINE protocol: totaltime = preprocess
-    # + primal + dual). The fused driver computes its dual bounds inside
-    # the device state machine, so the split is reconstructed by timing
-    # ONE standalone dual bound at the final iteration count (compile
-    # excluded, after endtime so it never perturbs totaltime) and
-    # attributing per-bound cost × feas_count.
+    # + primal + dual, reference src/sdplr.jl:414-425). The fused driver
+    # computes its dual bounds inside the device state machine, so the
+    # split is reconstructed from a work model with ZERO extra dispatches:
+    # each dual bound runs ~q Lanczos matvecs (rank-1 operator applies,
+    # ops/lanczos.py), each inner iteration runs ~3 rank-r operator
+    # applies (2 forward products in the line search + 1 adjoint SpMM,
+    # SURVEY §3.2) — the nnz/n² factor cancels in the ratio, so the same
+    # model covers the sparse, dense-MXU, and megakernel regimes. The
+    # estimate is clamped to [0, totaltime] by construction.
     dual_time = 0.0
     feas = int(carry.feas_count)
-    if feas > 0:
-        key2, sub = jax.random.split(carry.key)
-        it_final = max(base_total + int(carry.ic.steps), 1)
-        args = (dp, lam, float(carry.sigma), vio_raw,
-                config.prior_trace_bound, it_final, sub)
-        kw = dict(highprecision=config.eigval_highprecision,
-                  safeguard=config.dual_safeguard)
-        from .dualbound import dual_obj
+    total_steps = base_total + int(carry.ic.steps)
+    if feas > 0 and total_steps > 0:
+        from ..ops.lanczos import lanczos_q
 
-        dual_obj(*args, **kw)  # compile + warm
-        t0 = time.time()
-        dual_obj(*args, **kw)
-        dual_time = (time.time() - t0) * feas
+        q_final = lanczos_q(max(total_steps, 1), n)
+        dual_units = float(feas) * float(q_final)
+        primal_units = 3.0 * float(max(r, 1)) * float(total_steps)
+        frac = dual_units / max(dual_units + primal_units, 1e-30)
+        dual_time = min(max(frac * totaltime, 0.0), totaltime)
 
     t_dimacs = time.time()
     if config.eval_DIMACS_errs:
@@ -600,9 +603,11 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         # ---- rank doubling (reference: src/sdplr.jl:372-386)
         if rank_double:
             r = next_rank(r, n, m)
-            if config.rank_update_mode == "warm":
+            if config.rank_update_mode == "warm" and config.init_func is None:
                 # keep R's columns + λ/σ/tolerances/gap history (see
-                # _warm_vars; 'restart' reproduces the reference)
+                # _warm_vars; 'restart' reproduces the reference; a user
+                # init_func always re-inits through it, like the
+                # reference's rank_update! → SolverVars)
                 R = _warm_vars(dp, R, r, rng, dtype)
             else:
                 R, lam = _init_vars(prob, dp, r, config, dtype, rng)
