@@ -158,6 +158,13 @@ class CompiledProblem:
     extra_gids: Tuple[int, ...] = ()       # wide + low-rank constraint gids
     extra_wide_w: np.ndarray | None = None  # (n_exw, n_pad) diag weights
 
+    # fast-diagonal SpMM path (all sparse-constraint entries diagonal,
+    # solver/inner.py carried-C@R recurrence): wide diagonal constraints'
+    # weights as dense row-aligned rows so their forward values are a
+    # small dense matvec over the per-row diagonal samples. Zero-row
+    # shaped (0, n_pad) when there are no wide constraints.
+    wide_diag_w: np.ndarray | None = None  # (n_wide, n_pad)
+
 
 def _triu_of(A: SparseSym) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     keep = A.rows <= A.cols
@@ -347,6 +354,21 @@ def compile_problem(
     cell_val = c_val_one[ell_tri]
     tail_cval = c_val_one[tail_tri] if T_pad else np.zeros(0)
 
+    # wide diagonal constraints as dense row-aligned weight rows (the
+    # fast-diagonal SpMM path computes their forward values as
+    # wide_diag_w @ rowvals; only meaningful when all_cons_diagonal)
+    wide_diag_w = np.zeros((len(wide_gids), n_pad))
+    if wide_gids and all_cons_diagonal:
+        widx_d = {g: i for i, g in enumerate(wide_gids)}
+        wsel = wide_mask_ent
+        wide_diag_w[
+            np.fromiter(
+                (widx_d[int(g)] for g in ent_gid[wsel]), dtype=np.int64,
+                count=int(wsel.sum()),
+            ),
+            ent_ti[wsel],
+        ] = ent_v1[wsel]
+
     # ---- low-rank terms ------------------------------------------------------
     lr_terms = []
     for gid, A in lowrank_ops:
@@ -514,4 +536,5 @@ def compile_problem(
         ew_C=ew_C,
         extra_gids=extra_gids,
         extra_wide_w=extra_wide_w,
+        wide_diag_w=wide_diag_w,
     )

@@ -89,31 +89,54 @@ def apply_S(
             BtX = _psum(t.B.T @ X, dp)
             out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
         return out
+    from .spmm import spmm_contract, spmm_gather, spmm_tail
+
     n_loc, W = dp.ell_cols.shape
     X_full = _full(dp, X)
-    Xg = jnp.take(X_full, dp.ell_cols.reshape(-1), axis=0).reshape(n_loc, W, -1)
+    Xg = spmm_gather(X_full, dp.ell_cols)
     if dp.all_cons_diagonal:
-        out = y_full[dp.m] * jnp.einsum("nw,nwr->nr", dp.cell_val, Xg)
+        out = y_full[dp.m] * spmm_contract(dp.cell_val, Xg)
         out = out + diag_weights(dp, y_full)[:, None] * X
         if dp.has_tail:
-            contrib = dp.tail_cval[:, None] * jnp.take(X_full, dp.tail_cols, axis=0)
-            out = out + y_full[dp.m] * jax.ops.segment_sum(
-                contrib, dp.tail_rows, num_segments=n_loc
+            out = out + y_full[dp.m] * spmm_tail(
+                jnp.zeros_like(out), X_full,
+                dp.tail_rows, dp.tail_cols, dp.tail_cval,
             )
     else:
         s_w = _widen(s_tri)
         s_ell = jnp.take(s_w, dp.ell_tri.reshape(-1), axis=0)[:, 0].reshape(n_loc, W)
-        out = jnp.einsum("nw,nwr->nr", s_ell, Xg)
+        out = spmm_contract(s_ell, Xg)
         if dp.has_tail:
             tv = jnp.take(s_w, dp.tail_tri, axis=0)[:, 0]  # (T,)
-            contrib = tv[:, None] * jnp.take(X_full, dp.tail_cols, axis=0)
-            out = out + jax.ops.segment_sum(
-                contrib, dp.tail_rows, num_segments=n_loc
-            )
+            out = spmm_tail(out, X_full, dp.tail_rows, dp.tail_cols, tv)
     for t in dp.lowrank:
         BtX = _psum(t.B.T @ X, dp)                # (s, r), MXU (+psum)
         out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
     return out
+
+
+def apply_S_cx(dp: DeviceProblem, y_full: jax.Array, X: jax.Array,
+               CX: jax.Array) -> jax.Array:
+    """S @ X on the fast-diagonal path with CX = C_sparse @ X precomputed:
+    S@X = y_m·CX + diag(w·y)⊙X + low-rank — ZERO gathers (the carried
+    recurrence CX += α·CD supplies CX, see solver/inner.py)."""
+    out = y_full[dp.m] * CX + diag_weights(dp, y_full)[:, None] * X
+    for t in dp.lowrank:
+        BtX = _psum(t.B.T @ X, dp)
+        out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
+    return out
+
+
+def gradient_cx(dp: DeviceProblem, R: jax.Array, CX: jax.Array,
+                lam: jax.Array, sigma, vio_raw: jax.Array):
+    """Gradient on the fast-diagonal path: G = 2·S·R derived from the
+    carried CX = C_sparse @ R with no pattern gathers at all
+    (reference math: src/coreop.jl:229-236,302-317)."""
+    m = dp.m
+    y_head = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[:m])
+    y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=R.dtype)])
+    G = 2.0 * apply_S_cx(dp, y_full, R, CX)
+    return G, y_full
 
 
 def gradient(

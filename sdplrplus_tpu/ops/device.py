@@ -65,6 +65,9 @@ class DeviceProblem:
     ew_h: jax.Array = None         # (n_pad, n_pad)
     ew_C: jax.Array = None         # (n_pad, n_pad) dense C (None: C low-rank)
     extra_wide_w: jax.Array = None  # (n_exw, n_pad)
+    # fast-diagonal SpMM path: wide diagonal constraints' weights as dense
+    # row-aligned rows (see compile.py); (0, n_pad) when no wide constraints
+    wide_diag_w: jax.Array = None  # (n_wide, n_pad)
 
     # -- static metadata ------------------------------------------------------
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -90,6 +93,23 @@ class DeviceProblem:
     @property
     def dtype(self):
         return self.b.dtype
+
+
+def fast_diag_eligible(dp) -> bool:
+    """Whether the fast-diagonal single-SpMM inner path applies: every
+    sparse-constraint entry on the diagonal (S = C + diag(w·y) + lowrank),
+    no dense-MXU / entrywise mode compiled in, no external-model adapter.
+
+    Works on both a real DeviceProblem and a PartitionSpec pytree of one
+    (only static fields and leaf presence are consulted), so the shard_map
+    spec builders can call it too."""
+    return bool(
+        getattr(dp, "all_cons_diagonal", False)
+        and getattr(dp, "C_dense", None) is None
+        and getattr(dp, "ew_c2", None) is None
+        and getattr(dp, "fn_apply_S", None) is None
+        and getattr(dp, "fn_A_uu", None) is None
+    )
 
 
 def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
@@ -135,6 +155,10 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ew_C=f(cp.ew_C) if cp.ew_C is not None else None,
         extra_wide_w=(
             f(cp.extra_wide_w) if cp.extra_wide_w is not None else None
+        ),
+        wide_diag_w=(
+            f(cp.wide_diag_w) if cp.wide_diag_w is not None
+            else f(np.zeros((0, cp.n_pad)))
         ),
         extra_gids=tuple(cp.extra_gids),
         n=cp.n,

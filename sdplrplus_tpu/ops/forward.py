@@ -99,6 +99,60 @@ def uv_values_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     return 0.5 * (jnp.sum(Ur * Vc, axis=1) + jnp.sum(Vr * Uc, axis=1))
 
 
+def cons_from_rowvals(dp: DeviceProblem, rowvals: jax.Array) -> jax.Array:
+    """(m,) constraint values for the all-diagonal fast path from the
+    per-row diagonal samples rowvals[i] = (UVᵀ)_ii: narrow constraints via
+    the widened con_rows gather, wide diagonal constraints (e.g.
+    μ-conductance's volume constraint) via the dense wide_diag_w matvec.
+    ``rowvals`` is device-local under shard_map."""
+    cons = _dense_cons(dp, rowvals)
+    if dp.wide_gids:
+        wide = _psum(dp.wide_diag_w @ rowvals, dp)
+        cons = cons.at[jnp.asarray(dp.wide_gids)].set(wide)
+    return cons
+
+
+def _fast_vals(dp: DeviceProblem, rowvals: jax.Array, obj: jax.Array) -> jax.Array:
+    return jnp.concatenate([cons_from_rowvals(dp, rowvals), obj[None]])
+
+
+def A_uu_cx(dp: DeviceProblem, U: jax.Array, CX: jax.Array) -> jax.Array:
+    """𝒜(UUᵀ) on the fast-diagonal path, with the sparse-C product
+    CX = C_sparse @ U precomputed (ops/spmm.spmm_C): the objective is
+    ⟨U, CX⟩ (+ low-rank C terms), constraints reduce over row dots —
+    zero pattern gathers beyond the one SpMM (reference math:
+    src/coreop.jl:36-49)."""
+    obj = _psum(jnp.vdot(U, CX), dp)
+    vals = _fast_vals(dp, jnp.sum(U * U, axis=1), obj)
+    for t in dp.lowrank:
+        UtB = _psum(U.T @ t.B, dp)
+        vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * UtB, axis=0)))
+    return vals
+
+
+def A_linesearch_cd(dp: DeviceProblem, R: jax.Array, D: jax.Array,
+                    CD: jax.Array):
+    """Fast-diagonal line-search products from the ONE SpMM of the
+    iteration, CD = C_sparse @ D:
+
+        A_RD = 𝒜(RDᵀ + DRᵀ)   (objective slot 2⟨R, CD⟩)
+        A_DD = 𝒜(DDᵀ)          (objective slot ⟨D, CD⟩)
+
+    Everything else is row dots and tiny low-rank MXU contractions — the
+    gradient then reuses CD through the carried C@R recurrence
+    (solver/inner.py), so one gather pass serves the whole iteration."""
+    obj_RD = 2.0 * _psum(jnp.vdot(R, CD), dp)
+    obj_DD = _psum(jnp.vdot(D, CD), dp)
+    A_RD = _fast_vals(dp, 2.0 * jnp.sum(R * D, axis=1), obj_RD)
+    A_DD = _fast_vals(dp, jnp.sum(D * D, axis=1), obj_DD)
+    for t in dp.lowrank:
+        rb = _psum(R.T @ t.B, dp)
+        db = _psum(D.T @ t.B, dp)
+        A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
+        A_DD = A_DD.at[t.gid].add(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
+    return A_RD, A_DD
+
+
 def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """𝒜(UUᵀ) -> (m+1,), slot m = ⟨C, UUᵀ⟩ (reference: src/coreop.jl:36-49)."""
     if getattr(dp, "fn_A_uu", None) is not None:  # external-model adapter

@@ -1,0 +1,99 @@
+"""The sparse×dense SpMM kernel: out = M @ X for a static sparse symmetric
+matrix M held in ELL(+COO tail) layout, X a dense (n, r) factor.
+
+This is the hot kernel of the whole solver — the TPU counterpart of the
+reference's MKLSparse SpMM in the adjoint/gradient path (reference:
+src/coreop.jl:260-300) and of its Lanczos matvec (src/coreop.jl:483).
+
+Design (measured on v5e, exps/probe*.py; numbers in docs/DESIGN.md):
+
+  * The layout is padded ELL over rows — ``cols[n_pad, W]`` / ``val[n_pad, W]``
+    with a COO tail for rows whose degree exceeds W. Pad slots point at a
+    guaranteed-zero row so no masking is needed.
+  * The compute form is ONE row-gather ``take(X, cols)`` followed by a
+    width-contraction einsum. XLA lowers the gather to the hardware
+    gather unit at ~2.5-3.6 ns/index with the lane width (r) free up to
+    64 lanes — this measured *faster* than every hand-written Pallas
+    variant we probed: Mosaic's ``dynamic_gather`` only lowers within a
+    single (8,128) vreg tile, per-row DMA gathers crash the Mosaic
+    compiler, and a one-hot MXU matmul (1.6 ns/row) is bf16-inexact and
+    loses the accuracy budget. The XLA einsum form IS the kernel.
+  * The cost is therefore gather-rate bound: ~nnz_full × 3 ns per
+    application, independent of r up to 64 lanes. The solver exploits
+    exactly that: the fast-diagonal inner path (ops/forward.py /
+    solver/inner.py) arranges each inner iteration to issue ONE such
+    SpMM (C @ D) and derives everything else — both line-search
+    products, the objective slots, and the gradient via the carried
+    C@R recurrence — from it with elementwise math.
+
+``spmm_gather`` returns the gathered rows so callers can reuse them
+(e.g. a fused sample-and-multiply); ``spmm_ell`` is the plain kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .device import DeviceProblem
+
+
+def spmm_gather(X_full: jax.Array, ell_cols: jax.Array) -> jax.Array:
+    """Gather step: (n_loc, W) column ids -> (n_loc, W, r) rows of X.
+
+    The single hardware-gather pass everything else is derived from."""
+    n_loc, W = ell_cols.shape
+    return jnp.take(X_full, ell_cols.reshape(-1), axis=0).reshape(
+        n_loc, W, X_full.shape[1]
+    )
+
+
+def spmm_contract(val: jax.Array, Xg: jax.Array) -> jax.Array:
+    """Contraction step: (n_loc, W) values × (n_loc, W, r) gathered rows
+    -> (n_loc, r)."""
+    return jnp.einsum("nw,nwr->nr", val, Xg)
+
+
+def spmm_tail(
+    out: jax.Array,
+    X_full: jax.Array,
+    tail_rows: jax.Array,
+    tail_cols: jax.Array,
+    tail_val: jax.Array,
+) -> jax.Array:
+    """Add the COO-tail contribution for rows overflowing the ELL width."""
+    contrib = tail_val[:, None] * jnp.take(X_full, tail_cols, axis=0)
+    return out + jax.ops.segment_sum(
+        contrib, tail_rows, num_segments=out.shape[0]
+    )
+
+
+def spmm_ell(
+    X_full: jax.Array,
+    ell_cols: jax.Array,
+    ell_val: jax.Array,
+    tail_rows: jax.Array | None = None,
+    tail_cols: jax.Array | None = None,
+    tail_val: jax.Array | None = None,
+) -> jax.Array:
+    """out = M @ X for M in ELL(+tail) layout. X_full must carry the full
+    column support (all-gathered under shard_map); the output rows match
+    the (possibly sharded) ell_cols rows."""
+    out = spmm_contract(ell_val, spmm_gather(X_full, ell_cols))
+    if tail_rows is not None and tail_rows.shape[0] > 0:
+        out = spmm_tail(out, X_full, tail_rows, tail_cols, tail_val)
+    return out
+
+
+def spmm_C(dp: DeviceProblem, X_full: jax.Array) -> jax.Array:
+    """C_sparse @ X via the compiled static layout (cell_val carries C's
+    values aligned to the ELL slots of the full symmetric aggregate
+    pattern; zeros where only constraints have entries).
+
+    Only the *sparse part* of C — low-rank C terms are applied by the
+    caller as MXU matmuls. ``X_full`` must already carry the full row
+    support; rows of the result align with dp.ell_cols' (local) rows."""
+    out = spmm_contract(dp.cell_val, spmm_gather(X_full, dp.ell_cols))
+    if dp.has_tail:
+        out = spmm_tail(out, X_full, dp.tail_rows, dp.tail_cols, dp.tail_cval)
+    return out

@@ -96,6 +96,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
             DeviceLowRank(B=row, d=rep, gid=t.gid) for t in dp.lowrank
         ),
         C_dense=row if dp.C_dense is not None else None,
+        wide_diag_w=P(None, AXIS),
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,
@@ -140,11 +141,13 @@ def make_shardmap_inner(mesh: Mesh, specs: DeviceProblem, *, k: int,
         sty=rep,
         yty=rep,
     )
+    from ..ops.device import fast_diag_eligible
     from ..solver.inner import InnerCarry
 
     carry_spec = InnerCarry(
         R=row, G=row, y_full=rep, vio_raw=rep, L_val=rep, grad_norm=rep,
         lbfgs=lbfgs_spec, steps=rep, stagnated=rep,
+        CX=row if fast_diag_eligible(specs) else None,
     )
     in_specs = (
         specs, row, row, rep, rep, rep, rep, lbfgs_spec,
@@ -182,6 +185,7 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
     -> (carry, vio_norm); R/G/L-BFGS histories row-sharded, everything
     else replicated.
     """
+    from ..ops.device import fast_diag_eligible
     from ..solver.inner import InnerCarry
     from ..solver.major import MajorCarry, major_chunk_impl
 
@@ -194,6 +198,7 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
     ic_spec = InnerCarry(
         R=row, G=row, y_full=rep, vio_raw=rep, L_val=rep, grad_norm=rep,
         lbfgs=lbfgs_spec, steps=rep, stagnated=rep,
+        CX=row if fast_diag_eligible(specs) else None,
     )
     carry_spec = MajorCarry(
         ic=ic_spec, lam=rep, sigma=rep, cur_ptol=rep, cur_gtol=rep,

@@ -57,3 +57,28 @@ def al_value_grad(dp: DeviceProblem, R, lam, sigma,
     G, y_full, _ = gradient(dp, R, lam, sigma, vio_raw)
     grad_norm, vio_norm = norms(dp, G, vio_raw, gtol_relative, ptol_relative)
     return L, vio_raw, G, y_full, grad_norm, vio_norm
+
+
+def al_value_grad_cx(dp: DeviceProblem, R, lam, sigma,
+                     gtol_relative: bool, ptol_relative: bool):
+    """fg! on the fast-diagonal path: ONE SpMM (CX = C_sparse @ R) serves
+    objective, constraints, and gradient (ops/spmm.py design note).
+
+    Returns (L, vio_raw, G, y_full, grad_norm, vio_norm, CX); CX seeds the
+    carried recurrence of the inner loop (solver/inner.py).
+    """
+    from ..ops.adjoint import gradient_cx
+    from ..ops.forward import A_uu_cx, _full
+    from ..ops.spmm import spmm_C
+
+    m = dp.m
+    CX = spmm_C(dp, _full(dp, R))
+    av = A_uu_cx(dp, R, CX)
+    obj = av[m]
+    v = av[:m] - dp.b
+    lam_t = jnp.minimum(dp.lam_ub, lam - sigma * v)
+    L = obj + jnp.sum(lam_t * lam_t - lam * lam) / (2.0 * sigma)
+    vio_raw = jnp.concatenate([v, obj[None]])
+    G, y_full = gradient_cx(dp, R, CX, lam, sigma, vio_raw)
+    grad_norm, vio_norm = norms(dp, G, vio_raw, gtol_relative, ptol_relative)
+    return L, vio_raw, G, y_full, grad_norm, vio_norm, CX

@@ -18,17 +18,24 @@ exactly like the reference (update happens after the break there).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.adjoint import gradient
-from ..ops.device import DeviceProblem
+from ..ops.adjoint import gradient, gradient_cx
+from ..ops.device import DeviceProblem, fast_diag_eligible
+from ..ops.forward import A_linesearch_cd, _full
+from ..ops.spmm import spmm_C
 from .al import capped_vio
 from .lbfgs import LBFGSState, lbfgs_direction, lbfgs_push
-from .linesearch import armijo_linesearch, exact_linesearch
+from .linesearch import (
+    armijo_from_products,
+    armijo_linesearch,
+    exact_from_products,
+    exact_linesearch,
+)
 
 
 class InnerCarry(NamedTuple):
@@ -41,6 +48,9 @@ class InnerCarry(NamedTuple):
     lbfgs: LBFGSState
     steps: jax.Array      # steps taken this chunk
     stagnated: jax.Array  # bool
+    # fast-diagonal path only: the carried sparse-C product CX = C_sparse@R
+    # (ops/spmm.py design note). None on every other engine/path.
+    CX: Any = None
 
 
 def inner_step(
@@ -54,11 +64,18 @@ def inner_step(
     use_armijo: bool,
     gtol_relative: bool,
     lbfgs_compact: bool = True,
+    use_cx: bool = False,
 ) -> InnerCarry:
     """One inner L-BFGS iteration (reference: src/sdplr.jl:196-246).
 
     λ/σ are explicit arguments (not closed over) so the fused outer driver
-    (solver/major.py) can carry them through the same step function."""
+    (solver/major.py) can carry them through the same step function.
+
+    ``use_cx`` selects the fast-diagonal engine: ONE SpMM (CD = C_sparse@D)
+    per iteration feeds both line-search products, and the gradient comes
+    from the carried recurrence CX ← CX + α·CD with zero further gathers
+    (refreshed exactly at major boundaries, where the reference re-syncs
+    state anyway — src/sdplr.jl:389)."""
     axis = dp.spmd_axis
     gscale = dp.normC if gtol_relative else 1.0
 
@@ -73,25 +90,49 @@ def inner_step(
         bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
         direction = jnp.where(bad, -c.G, direction)
 
-    # line search (reference: src/sdplr.jl:210-215)
-    with jax.named_scope("linesearch"):
-        if use_armijo:
-            alpha, L_new, vio_new = armijo_linesearch(
-                dp, c.R, direction, c.vio_raw, lam, sigma, c.y_full
-            )
-        else:
-            alpha, L_new, vio_new = exact_linesearch(
-                dp, c.R, direction, c.vio_raw, lam, sigma
-            )
+    if use_cx:
+        # --- fast-diagonal engine: the iteration's single gather pass ----
+        with jax.named_scope("spmm_CD"):
+            CD = spmm_C(dp, _full(dp, direction))
+        with jax.named_scope("linesearch"):
+            A_RD, A_DD = A_linesearch_cd(dp, c.R, direction, CD)
+            if use_armijo:
+                alpha, L_new, vio_new = armijo_from_products(
+                    dp, A_RD, A_DD, c.vio_raw, lam, sigma, c.y_full
+                )
+            else:
+                alpha, L_new, vio_new = exact_from_products(
+                    dp, A_RD, A_DD, c.vio_raw, lam, sigma
+                )
+        with jax.named_scope("gradient"):
+            R_new = c.R + alpha * direction
+            CX_new = c.CX + alpha * CD
+            G_new, y_new = gradient_cx(dp, R_new, CX_new, lam, sigma, vio_new)
+            gsq = jnp.sum(G_new * G_new)
+            if axis is not None:
+                gsq = lax.psum(gsq, axis)
+            gnorm = jnp.sqrt(gsq) / gscale
+    else:
+        CX_new = c.CX
+        # line search (reference: src/sdplr.jl:210-215)
+        with jax.named_scope("linesearch"):
+            if use_armijo:
+                alpha, L_new, vio_new = armijo_linesearch(
+                    dp, c.R, direction, c.vio_raw, lam, sigma, c.y_full
+                )
+            else:
+                alpha, L_new, vio_new = exact_linesearch(
+                    dp, c.R, direction, c.vio_raw, lam, sigma
+                )
 
-    # step + gradient (reference: src/sdplr.jl:219-223)
-    with jax.named_scope("gradient"):
-        R_new = c.R + alpha * direction
-        G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
-        gsq = jnp.sum(G_new * G_new)
-        if axis is not None:
-            gsq = lax.psum(gsq, axis)
-        gnorm = jnp.sqrt(gsq) / gscale
+        # step + gradient (reference: src/sdplr.jl:219-223)
+        with jax.named_scope("gradient"):
+            R_new = c.R + alpha * direction
+            G_new, y_new, _ = gradient(dp, R_new, lam, sigma, vio_new)
+            gsq = jnp.sum(G_new * G_new)
+            if axis is not None:
+                gsq = lax.psum(gsq, axis)
+            gnorm = jnp.sqrt(gsq) / gscale
 
     # fprec stagnation (reference: src/sdplr.jl:236-241)
     rel_delta = (c.L_val - L_new) / jnp.maximum(
@@ -120,6 +161,7 @@ def inner_step(
         lbfgs=new_lbfgs,
         steps=c.steps + 1,
         stagnated=stagnated,
+        CX=CX_new,
     )
 
 
@@ -149,6 +191,7 @@ def inner_chunk_impl(
     Returns (carry, vio_norm).
     """
     pscale = dp.normb if ptol_relative else 1.0
+    use_cx = fast_diag_eligible(dp)
 
     def cond(c: InnerCarry):
         return jnp.logical_and(
@@ -160,7 +203,7 @@ def inner_chunk_impl(
         return inner_step(
             dp, c, lam, sigma, stag_tol,
             k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
-            lbfgs_compact=lbfgs_compact,
+            lbfgs_compact=lbfgs_compact, use_cx=use_cx,
         )
 
     init = InnerCarry(
@@ -173,6 +216,7 @@ def inner_chunk_impl(
         lbfgs=lbfgs,
         steps=jnp.zeros((), jnp.int32),
         stagnated=jnp.zeros((), bool),
+        CX=spmm_C(dp, _full(dp, R)) if use_cx else None,
     )
     out = lax.while_loop(cond, body, init)
     vio_norm = jnp.linalg.norm(capped_vio(dp, out.vio_raw)) / pscale

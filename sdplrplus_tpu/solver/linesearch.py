@@ -45,8 +45,17 @@ def exact_linesearch(dp: DeviceProblem, R, D, vio_raw, lam, sigma, alpha_max=1.0
 
     Returns (alpha, L_at_alpha, new_vio_raw).
     """
-    m = dp.m
     A_RD, A_DD = _products(dp, R, D)
+    return exact_from_products(dp, A_RD, A_DD, vio_raw, lam, sigma, alpha_max)
+
+
+def exact_from_products(dp: DeviceProblem, A_RD, A_DD, vio_raw, lam, sigma,
+                        alpha_max=1.0):
+    """Exact quartic line search from precomputed operator products
+    (the fast-diagonal path derives them from its single SpMM,
+    ops/forward.A_linesearch_cd)."""
+    m = dp.m
+    dtype = A_RD.dtype
 
     p0 = vio_raw[m]
     p1 = A_RD[m]
@@ -62,7 +71,7 @@ def exact_linesearch(dp: DeviceProblem, R, D, vio_raw, lam, sigma, alpha_max=1.0
     b = sigma * jnp.dot(q1, q2)
     a = sigma * jnp.dot(q2, q2) / 2.0
 
-    alpha_max = jnp.asarray(alpha_max, dtype=R.dtype)
+    alpha_max = jnp.asarray(alpha_max, dtype=dtype)
     alpha, f_star = minimize_quartic((e, d, c, b, a), alpha_max)
 
     new_vio = _commit(dp, vio_raw, A_RD, A_DD, alpha)
@@ -79,8 +88,18 @@ def armijo_linesearch(
     (reference: src/linesearch.jl:169-171).
     Returns (alpha, L_at_alpha, new_vio_raw).
     """
-    m = dp.m
     A_RD, A_DD = _products(dp, R, D)
+    return armijo_from_products(
+        dp, A_RD, A_DD, vio_raw, lam, sigma, y_full, alpha_max
+    )
+
+
+def armijo_from_products(dp: DeviceProblem, A_RD, A_DD, vio_raw, lam, sigma,
+                         y_full, alpha_max=1.0):
+    """Armijo backtracking from precomputed operator products (see
+    exact_from_products)."""
+    m = dp.m
+    dtype = A_RD.dtype
 
     def eval_AL(alpha):
         L = vio_raw[m] + alpha * A_RD[m] + alpha * alpha * A_DD[m]
@@ -88,10 +107,10 @@ def armijo_linesearch(
         lam_t = jnp.minimum(dp.lam_ub, lam - sigma * g)
         return L + jnp.sum(lam_t * lam_t - lam * lam) / (2.0 * sigma)
 
-    L0 = eval_AL(jnp.zeros((), dtype=R.dtype))
+    L0 = eval_AL(jnp.zeros((), dtype=dtype))
     slope = A_RD[m] + jnp.dot(y_full[:m], A_RD[:m])
 
-    alpha0 = jnp.asarray(alpha_max, dtype=R.dtype)
+    alpha0 = jnp.asarray(alpha_max, dtype=dtype)
     L_a0 = eval_AL(alpha0)
 
     def cond(carry):

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.adjoint import assemble_s_tri
-from ..ops.device import DeviceProblem
+from ..ops.device import DeviceProblem, fast_diag_eligible
 from ..ops.forward import _psum
 from ..ops.lanczos import (
     lanczos_alpha_beta_impl,
@@ -42,7 +42,7 @@ from ..ops.lanczos import (
     tridiag_min_eig_device,
     tridiag_min_eig_device_certified,
 )
-from .al import al_value_grad, capped_vio
+from .al import al_value_grad, al_value_grad_cx, capped_vio
 from .inner import InnerCarry, inner_step
 from .lbfgs import lbfgs_clear
 
@@ -108,6 +108,13 @@ def major_chunk_impl(
     m = dp.m
     pscale = dp.normb if ptol_relative else 1.0
     logn = jnp.log(jnp.asarray(max(dp.n, 2), dtype))
+    # fast-diagonal engine (solver/inner.py use_cx): only for the plain
+    # inner_step engine — the megakernel and entry engines carry CX=None
+    use_cx = (
+        mega_spec is None
+        and getattr(dp, "ew_c2", None) is None
+        and fast_diag_eligible(dp)
+    )
 
     def cond(c: MajorCarry):
         return (
@@ -153,7 +160,7 @@ def major_chunk_impl(
             ic2 = inner_step(
                 dp, c.ic, c.lam, c.sigma, stag_tol,
                 k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
-                lbfgs_compact=lbfgs_compact,
+                lbfgs_compact=lbfgs_compact, use_cx=use_cx,
             )
             return c._replace(ic=ic2)
 
@@ -267,15 +274,25 @@ def major_chunk_impl(
         )
 
         def resync(c: MajorCarry) -> MajorCarry:
-            # L-BFGS clear + fg! re-sync (src/sdplr.jl:383,389)
-            L, vio_raw, G, y_full, gnorm, _ = al_value_grad(
-                dp, c.ic.R, c.lam, c.sigma,
-                gtol_relative=gtol_relative, ptol_relative=ptol_relative,
-            )
+            # L-BFGS clear + fg! re-sync (src/sdplr.jl:383,389); on the
+            # fast-diagonal engine this also refreshes the carried CX
+            # recurrence from scratch (bounding its per-step drift to one
+            # major iteration)
+            if use_cx:
+                L, vio_raw, G, y_full, gnorm, _, CX = al_value_grad_cx(
+                    dp, c.ic.R, c.lam, c.sigma,
+                    gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+                )
+            else:
+                L, vio_raw, G, y_full, gnorm, _ = al_value_grad(
+                    dp, c.ic.R, c.lam, c.sigma,
+                    gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+                )
+                CX = None
             ic2 = InnerCarry(
                 R=c.ic.R, G=G, y_full=y_full, vio_raw=vio_raw, L_val=L,
                 grad_norm=gnorm, lbfgs=lbfgs_clear(c.ic.lbfgs),
-                steps=c.ic.steps, stagnated=jnp.zeros((), bool),
+                steps=c.ic.steps, stagnated=jnp.zeros((), bool), CX=CX,
             )
             return c._replace(ic=ic2)
 
@@ -306,18 +323,33 @@ major_chunk = functools.partial(
 
 def init_major_carry(dp: DeviceProblem, R, lam, sigma, cur_ptol, cur_gtol,
                      key, lbfgs, rankupd_tol: int, *,
-                     gtol_relative: bool, ptol_relative: bool) -> MajorCarry:
+                     gtol_relative: bool, ptol_relative: bool,
+                     with_cx: bool | None = None) -> MajorCarry:
     """Build the initial device carry from host state (fresh or post-rank-
-    doubling). Runs one fg! to populate (L, vio, G)."""
+    doubling). Runs one fg! to populate (L, vio, G). ``with_cx`` must match
+    the engine selection of the major_chunk this carry feeds (True iff the
+    plain inner_step engine runs on a fast-diagonal problem); None
+    auto-detects for plain (non-megakernel) major_chunk calls."""
     dtype = R.dtype
-    L, vio_raw, G, y_full, gnorm, _ = al_value_grad(
-        dp, R, lam, sigma,
-        gtol_relative=gtol_relative, ptol_relative=ptol_relative,
-    )
+    if with_cx is None:
+        with_cx = (
+            getattr(dp, "ew_c2", None) is None and fast_diag_eligible(dp)
+        )
+    if with_cx:
+        L, vio_raw, G, y_full, gnorm, _, CX = al_value_grad_cx(
+            dp, R, lam, sigma,
+            gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+        )
+    else:
+        L, vio_raw, G, y_full, gnorm, _ = al_value_grad(
+            dp, R, lam, sigma,
+            gtol_relative=gtol_relative, ptol_relative=ptol_relative,
+        )
+        CX = None
     ic = InnerCarry(
         R=R, G=G, y_full=y_full, vio_raw=vio_raw, L_val=L, grad_norm=gnorm,
         lbfgs=lbfgs, steps=jnp.zeros((), jnp.int32),
-        stagnated=jnp.zeros((), bool),
+        stagnated=jnp.zeros((), bool), CX=CX,
     )
     f = lambda x: jnp.asarray(x, dtype)
     return MajorCarry(

@@ -200,6 +200,18 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             "mega_interpret": jax.default_backend() != "tpu",
         }, mega_data
 
+    def cx_for(r_now: int) -> bool:
+        # the carry must carry CX exactly when major_chunk will run the
+        # fast-diagonal inner_step engine (solver/major.py use_cx)
+        from ..ops.device import fast_diag_eligible
+
+        mkw, _ = mega_kwargs(r_now)
+        return (
+            not mkw
+            and getattr(dp, "ew_c2", None) is None
+            and fast_diag_eligible(dp)
+        )
+
     def fresh_carry(R, lam, key):
         return init_major_carry(
             dp, R, lam, sigma0,
@@ -207,6 +219,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             max(1.0 / sigma0, config.gtol),
             key, lbfgs_init(k, dp.n_pad, r, dtype), config.rankupd_tol,
             gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+            with_cx=cx_for(r),
         )
 
     carry = fresh_carry(R, lam, key)
@@ -306,6 +319,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                     carry.key, lbfgs_init(k, dp.n_pad, r, dtype),
                     config.rankupd_tol,
                     gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+                    with_cx=cx_for(r),
                 )
                 # dual values/gap history stay valid across a rank change
                 carry = newc._replace(
