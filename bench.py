@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import time
 
 import numpy as np
@@ -158,24 +159,47 @@ def run_bench(graph="G1", dtype="float32"):
     }
 
 
-def _prior_value():
-    for path in sorted(glob.glob("BENCH_r*.json")):
-        try:
-            with open(path) as f:
-                rec = json.load(f)
-            v = rec.get("value")
-            if v:
-                return float(v)
-        except Exception:
-            continue
-    return None
+def _cpu_baseline(graph="G1"):
+    """Measured CPU reference baseline (exps/ref_baseline.py): a faithful
+    single-thread numpy/scipy port of the reference hot loop, run under
+    the same protocol (1 thread, ptol=objtol=1e-2, r=10, trace bound n —
+    reference: exps/README.md:23, exps/test.jl:46)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "exps", "output", "baseline_cpu", "MaxCut", f"{graph}.json",
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def main():
     detail = run_bench()
     value = detail["device_al_iters_per_sec"]
-    prior = _prior_value()
-    vs_baseline = value / prior if prior else 1.0
+    base = _cpu_baseline()
+    if base:
+        vs_baseline = value / base["al_iters_per_sec"]
+        detail["baseline_cpu"] = {
+            "solver": base.get("solver"),
+            "al_iters_per_sec": base["al_iters_per_sec"],
+            "time_to_tol_s": base["totaltime"],
+            "obj": base["obj"],
+            "iter": base["iter"],
+            "e2e_speedup_time_to_tol": base["totaltime"]
+            / detail["time_to_tol_s"],
+            "methodology": (
+                "single-thread numpy/scipy port of the reference hot loop "
+                "(exps/ref_baseline.py; Julia unavailable in-image). "
+                "vs_baseline = device AL iters/s over baseline AL iters/s "
+                "at G1; at n=800 the numpy port pays per-op interpreter "
+                "overhead a Julia build would not — see the synthetic "
+                "n=100k baseline entry for the overhead-free comparison."
+            ),
+        }
+    else:
+        vs_baseline = 1.0
     print(
         json.dumps(
             {

@@ -42,7 +42,29 @@ def parse_args():
     p.add_argument("--output", type=str,
                    default=os.path.join(os.path.dirname(__file__), "output"))
     p.add_argument("--skip-warmup", action="store_true")
+    p.add_argument("--synthetic-n", type=int, default=0,
+                   help="solve a seeded random graph of this size instead "
+                        "of a Gset .mat (scale runs beyond the vendored "
+                        "G1-G9; the reference's large instances are SNAP "
+                        "downloads, unavailable offline)")
+    p.add_argument("--deg", type=int, default=16,
+                   help="average degree of the synthetic graph")
     return p.parse_args()
+
+
+def synthetic_graph(n: int, deg: int, seed: int = 1):
+    """Seeded random graph: n vertices, ~n*deg/2 undirected edges
+    (the G(n, M)-style instances used for scale benchmarking)."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, n * deg)
+    keep = rows != cols
+    A = sp.csr_matrix(
+        (np.ones(keep.sum()), (rows[keep], cols[keep])), shape=(n, n)
+    )
+    return A.maximum(A.T)
 
 
 def main():
@@ -75,6 +97,9 @@ def main():
     builder, callback, tb = builders[args.problem]
 
     def batch_eval(graph, filename, ptol, objtol):
+        if args.synthetic_n:
+            A = synthetic_graph(args.synthetic_n, args.deg)
+            return run_one(graph, A, filename, ptol, objtol)
         path = gset_path(graph, problem=args.problem, root=args.data_root)
         if not os.path.exists(path):
             import glob

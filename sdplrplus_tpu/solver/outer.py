@@ -104,6 +104,24 @@ def _stagnation_tol(config: SolverConfig, dtype) -> float:
     return tol
 
 
+def _final_gap(obj: float, max_dual: float, have_dual) -> float:
+    """Relative duality gap of the FINAL iterate against the best
+    certified dual bound: (obj - d*)/min(|obj|, |d*|).
+
+    This is the certificate the solve ends with. It differs from
+    ``min_duality_gap`` (the reference's trajectory statistic,
+    src/sdplr.jl:334-357): the trajectory min is taken over every
+    feasibility boundary, including early loose-tolerance ones where the
+    iterate is still far from feasible and its objective legitimately
+    undershoots the dual bound — which makes the *minimum* negative even
+    though every individual certificate is valid. Reporting artifact
+    only; both values are returned."""
+    if not have_dual:
+        return float("inf")
+    denom = min(abs(obj), abs(max_dual))
+    return (obj - max_dual) / denom if denom > 0 else float("inf")
+
+
 def sdplr(C, As, b, r: int, *, constraint_types=None,
           config: Optional[SolverConfig] = None, **kwargs) -> dict:
     """Solve min ⟨C,X⟩ s.t. ⟨Aᵢ,X⟩ =/≤ bᵢ, X ⪰ 0 via X = RRᵀ.
@@ -380,6 +398,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
 
     obj = float(vio_raw[m])
     min_gap = float(carry.min_gap)
+    final_gap = _final_gap(obj, float(carry.max_dual), feas)
     R_np = np.asarray(R[:n], dtype=np.float64)
     return {
         "R": R_np,
@@ -394,7 +413,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "obj": obj,
         "max_dual_value": float(carry.max_dual),
         "min_duality_gap": min_gap,
-        "rel_duality_gap": min_gap,
+        "rel_duality_gap": final_gap,
         "duality_gap": float(carry.last_gap),
         "totaltime": totaltime,
         "dual_time": dual_time,
@@ -682,7 +701,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     dimacs_time = time.time() - t_dimacs
 
     obj = float(vio_raw[m])
-    rel_gap = min_duality_gap
+    rel_gap = _final_gap(obj, max_dual_value, max_dual_value > -1e19)
 
     R_np = np.asarray(R[:n], dtype=np.float64)
     # one stable result schema (fixes the reference's exps/solver drift,
