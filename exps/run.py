@@ -32,7 +32,8 @@ def parse_args():
         "--problem",
         type=str,
         default="MaxCut",
-        choices=["MaxCut", "MinimumBisection", "LovaszTheta", "CutNorm"],
+        choices=["MaxCut", "MinimumBisection", "LovaszTheta", "CutNorm",
+                 "MuConductance"],
     )
     p.add_argument("--dtype", type=str, default=None,
                    help="float32 (TPU default) or float64")
@@ -42,6 +43,9 @@ def parse_args():
     p.add_argument("--output", type=str,
                    default=os.path.join(os.path.dirname(__file__), "output"))
     p.add_argument("--skip-warmup", action="store_true")
+    p.add_argument("--mu", type=float, default=0.1,
+                   help="conductance volume fraction for MuConductance "
+                        "(reference: exps/problems.jl:295-341)")
     p.add_argument("--synthetic-n", type=int, default=0,
                    help="solve a seeded random graph of this size instead "
                         "of a Gset .mat (scale runs beyond the vendored "
@@ -76,6 +80,8 @@ def main():
         lovasz_theta,
         maxcut,
         minimum_bisection,
+        mu_conductance_ineq,
+        mu_conductance_ub,
     )
     from sdplrplus_tpu.utils.io import gset_path, load_mat_adjacency
     from sdplrplus_tpu.utils.rounding import (
@@ -84,15 +90,24 @@ def main():
         minimum_bisection_rounding,
     )
 
+    def _mu_cond(A):
+        return mu_conductance_ineq(A, args.mu)
+
+    def _mu_tb(n, A):
+        # X_ii <= ub per inequality constraint -> trace <= n*ub
+        volG = float(np.asarray(A.sum()))
+        return float(n) * mu_conductance_ub(volG, args.mu)
+
     builders = {
-        "MaxCut": (maxcut, maxcut_rounding, lambda n: float(n)),
+        "MaxCut": (maxcut, maxcut_rounding, lambda n, A: float(n)),
         "MinimumBisection": (
             minimum_bisection,
             minimum_bisection_rounding,
-            lambda n: float(n),
+            lambda n, A: float(n),
         ),
-        "LovaszTheta": (lovasz_theta, dummy_callback, lambda n: 1.0),
-        "CutNorm": (cutnorm, dummy_callback, lambda n: float(n)),
+        "LovaszTheta": (lovasz_theta, dummy_callback, lambda n, A: 1.0),
+        "CutNorm": (cutnorm, dummy_callback, lambda n, A: float(n)),
+        "MuConductance": (_mu_cond, dummy_callback, _mu_tb),
     }
     builder, callback, tb = builders[args.problem]
 
@@ -100,7 +115,11 @@ def main():
         if args.synthetic_n:
             A = synthetic_graph(args.synthetic_n, args.deg)
             return run_one(graph, A, filename, ptol, objtol)
-        path = gset_path(graph, problem=args.problem, root=args.data_root)
+        # MuConductance runs on the raw MaxCut adjacencies (the reference
+        # keeps no separate data directory for it)
+        data_problem = ("MaxCut" if args.problem == "MuConductance"
+                        else args.problem)
+        path = gset_path(graph, problem=data_problem, root=args.data_root)
         if not os.path.exists(path):
             import glob
 
@@ -115,6 +134,9 @@ def main():
                 f"(no file {path}). Available: {', '.join(have) or 'none'}"
             )
         A = load_mat_adjacency(path)
+        return run_one(graph, A, filename, ptol, objtol)
+
+    def run_one(graph, A, filename, ptol, objtol):
         n = A.shape[0]
         out = builder(A)
         C, As, b = out[:3]
@@ -122,7 +144,7 @@ def main():
         res = sdplr(
             C, As, b, args.rank,
             constraint_types=ct,
-            prior_trace_bound=tb(n),
+            prior_trace_bound=tb(n, A),
             dataset=graph,
             seed=args.seed,
             ptol=ptol,

@@ -27,8 +27,13 @@ matmul with no dynamic shapes:
   pos_cid/pos_val   [P,J]  the INVERSE map (which constraints touch each
                            aggregate position) — S assembly becomes a
                            gather from y, again scatter-free
-  ell_cols/ell_tri  [n_pad, W] + tail COO — the full symmetric pattern of
-                           S in ELL(+overflow) layout for the SpMM G = S@R
+  ell_cols/ell_tri  [n_pad, W] + tier-2 [R2, W2] — the full symmetric
+                           pattern of S in two-tier ELL layout for the
+                           SpMM G = S@R: tier-1 width is cost-model
+                           chosen near the typical degree; heavier rows
+                           spill into chunked tier-2 rows that are
+                           scatter-added (few rows, so the ~6× scatter
+                           premium is amortized)
 
 Scatters are deliberately absent: on TPU a dynamic scatter/segment-sum
 runs at ~8 ns/element on the scalar path, while widened (≥8-lane) row
@@ -110,17 +115,23 @@ class CompiledProblem:
     # (maxcut/cutnorm/minbisection/mu-conductance): S = C + diag(w·y) + lowrank
     all_cons_diagonal: bool
     cell_val: np.ndarray      # (n_pad, W) static C values aligned to ELL slots
-    tail_cval: np.ndarray     # (T_pad,) static C values for the COO tail
+    cell2_val: np.ndarray     # (R2, W2) static C values for tier-2 rows
     diag_width: int
     diag_cid: np.ndarray      # (n_pad, Jd) -> constraint id (m = none)
     diag_w: np.ndarray        # (n_pad, Jd) weights
 
-    # full symmetric pattern of S in ELL + COO-tail layout
+    # full symmetric pattern of S in two-tier ELL layout: tier 1 is one
+    # width-W row per matrix row; rows with degree > W spill into extra
+    # width-W2 tier-2 rows (chunked), each scatter-added into its target
+    # row. Tier-2 rows are grouped by owning SPMD shard (ell2_shards
+    # row-blocks of equal count) so the layout row-shards evenly.
     ell_cols: np.ndarray      # (n_pad, W)
     ell_tri: np.ndarray       # (n_pad, W) -> index into s_tri (P_pad,)
-    tail_rows: np.ndarray     # (T_pad,)
-    tail_cols: np.ndarray     # (T_pad,)
-    tail_tri: np.ndarray      # (T_pad,)
+    ell2_width: int
+    ell2_shards: int          # n_shards the tier-2 grouping was built for
+    ell2_rows: np.ndarray     # (R2,) global target row per tier-2 row
+    ell2_cols: np.ndarray     # (R2, W2)
+    ell2_tri: np.ndarray      # (R2, W2)
 
     # vectors
     b: np.ndarray             # (m,)
@@ -171,6 +182,94 @@ def _triu_of(A: SparseSym) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return A.rows[keep], A.cols[keep], A.vals[keep]
 
 
+# one tier-2 scatter-added row costs about this many tier-1 gather slots
+# (measured v5e: row scatter ~15 ns vs row gather ~2.5 ns, exps/probe*.py)
+_SCATTER_SLOT_COST = 6.0
+
+
+def _choose_ell_widths(deg: np.ndarray, n_pad: int) -> Tuple[int, int]:
+    """Pick the tier-1 width W and tier-2 chunk width W2 minimizing the
+    modeled gather cost over the degree distribution.
+
+    The SpMM cost is per-gathered-slot (the v5e gather unit runs at a
+    flat ~2.5 ns/index — locality- and sortedness-invariant, see
+    exps/probe4.py), so the objective is simply total padded slots:
+        n_pad·W  +  Σ_rows ceil(max(deg-W,0)/W2)·W2  +  6·(#tier-2 rows)
+    A single-W ELL (the old layout) pads every row to ~max degree; on
+    skewed degree distributions (SNAP-class power laws) that is
+    catastrophic, and even on near-regular graphs it wastes ~1.5-2×."""
+    if deg.size == 0:
+        return 8, 8
+    max_deg = int(deg.max())
+    if max_deg <= 8:
+        return 8, 8
+    u_deg, u_cnt = np.unique(deg, return_counts=True)
+    w_hi = _round_up(min(max_deg, 512), 8)
+    cands = list(range(8, w_hi + 1, 8))
+    full_w = _round_up(max_deg, 8)
+    if full_w not in cands:
+        cands.append(full_w)
+    w2_cands = (8, 16, 24, 32, 48, 64, 96, 128)
+    best = (np.inf, 8, 8)
+    for W in cands:
+        ov = np.maximum(u_deg - W, 0)
+        any_ov = ov > 0
+        for W2 in w2_cands:
+            chunks = np.ceil(ov / W2)
+            n_chunks = float((u_cnt * chunks).sum())
+            cost = (
+                n_pad * W + n_chunks * W2 + _SCATTER_SLOT_COST * n_chunks
+            )
+            if cost < best[0]:
+                best = (cost, W, W2)
+            if not any_ov.any():
+                break  # no overflow at this W: W2 is irrelevant
+    return best[1], best[2]
+
+
+def _build_tier2(t_rows, t_cols, t_tri, t_rank, W2: int, P_pad: int,
+                 n_shards: int, shard_size: int):
+    """Pack overflow entries into shard-grouped width-W2 ELL rows.
+
+    Entry k goes to tier-2 row (t_rows[k], t_rank[k] // W2), slot
+    t_rank[k] % W2. Tier-2 rows are ordered (shard, row, chunk) and each
+    shard's block is padded to the common per-shard count (multiple of 8)
+    so the arrays shard evenly; padding rows target the first row of
+    their own shard with all-zero values (tri -> the zero slot)."""
+    if t_rows.shape[0] == 0:
+        z = np.zeros((0, W2), dtype=np.int64)
+        return (np.zeros(0, dtype=INDEX_DTYPE), z.astype(INDEX_DTYPE),
+                z.copy(), 0)
+    chunk = t_rank // W2
+    slot = t_rank % W2
+    shard = t_rows // shard_size
+    order = np.lexsort((chunk, t_rows, shard))
+    s_shard, s_rows, s_chunk = shard[order], t_rows[order], chunk[order]
+    new_grp = np.ones(order.shape[0], dtype=bool)
+    new_grp[1:] = (np.diff(s_rows) != 0) | (np.diff(s_chunk) != 0)
+    grp_of_sorted = np.cumsum(new_grp) - 1          # group id per sorted entry
+    inv = np.empty(order.shape[0], dtype=np.int64)  # group id per input entry
+    inv[order] = grp_of_sorted
+    u_shard = s_shard[new_grp]
+    u_row = s_rows[new_grp]
+    per_shard = np.bincount(u_shard, minlength=n_shards)
+    R2_shard = int(_round_up(int(per_shard.max()), 8))
+    # position of each unique tier-2 row inside its shard block
+    shard_start = np.concatenate([[0], np.cumsum(per_shard)])[u_shard]
+    within = np.arange(u_shard.shape[0]) - shard_start
+    u_idx = u_shard * R2_shard + within
+    R2 = n_shards * R2_shard
+    ell2_rows = np.zeros(R2, dtype=np.int64)
+    ell2_rows[:] = np.arange(R2) // R2_shard * shard_size  # padding target
+    ell2_rows[u_idx] = u_row
+    ell2_cols = np.zeros((R2, W2), dtype=np.int64)
+    ell2_tri = np.full((R2, W2), P_pad - 1, dtype=np.int64)
+    ell2_cols[u_idx[inv], slot] = t_cols
+    ell2_tri[u_idx[inv], slot] = t_tri
+    return (ell2_rows.astype(INDEX_DTYPE), ell2_cols.astype(INDEX_DTYPE),
+            ell2_tri, R2_shard)
+
+
 def compile_problem(
     prob: SDPProblem,
     *,
@@ -179,6 +278,7 @@ def compile_problem(
     ell_width: int | None = None,
     dense: bool | None = None,
     entry: bool | None = None,
+    n_shards: int = 1,
 ) -> CompiledProblem:
     """Compile ``prob`` into statically-shaped device arrays.
 
@@ -296,7 +396,7 @@ def compile_problem(
     )
     pos_cid = pos_cid.astype(np.int64)
 
-    # ---- full symmetric pattern -> ELL + tail (src/preprocess.jl:137-159) ---
+    # ---- full symmetric pattern -> two-tier ELL (src/preprocess.jl:137-159) --
     # full pattern = triu entries + mirror of strict-triu entries
     fr = agg_keys // n
     fc = agg_keys % n
@@ -311,11 +411,10 @@ def compile_problem(
     deg = np.bincount(full_rows, minlength=n)
     max_deg = int(deg.max()) if deg.size else 0
     if ell_width is None:
-        mean_deg = float(deg.mean()) if deg.size else 0.0
-        W = int(min(max_deg, max(8, int(np.ceil(4.0 * max(mean_deg, 1.0))))))
-        W = max(_round_up(max(W, 1), 8), 8)
+        W, W2 = _choose_ell_widths(deg, n_pad)
     else:
         W = max(int(ell_width), 1)
+        W2 = max(_round_up(W, 8), 8)
 
     ell_cols = np.zeros((n_pad, W), dtype=INDEX_DTYPE)
     ell_tri = np.full((n_pad, W), P_pad - 1, dtype=np.int64)  # zero slot
@@ -326,15 +425,20 @@ def compile_problem(
     ell_cols[full_rows[in_ell], rank_in_row[in_ell]] = full_cols[in_ell]
     ell_tri[full_rows[in_ell], rank_in_row[in_ell]] = full_tri[in_ell]
 
-    t_rows, t_cols, t_tri = full_rows[~in_ell], full_cols[~in_ell], full_tri[~in_ell]
-    T = t_rows.shape[0]
-    T_pad = _round_up(max(T, 0), nnz_pad) if T > 0 else 0
-    tail_rows = np.zeros(T_pad, dtype=INDEX_DTYPE)
-    tail_cols = np.zeros(T_pad, dtype=INDEX_DTYPE)
-    tail_tri = np.full(T_pad, P_pad - 1, dtype=np.int64)
-    tail_rows[:T] = t_rows
-    tail_cols[:T] = t_cols
-    tail_tri[:T] = t_tri
+    # tier 2: rows whose degree exceeds W spill into extra width-W2 ELL
+    # rows (chunked, so any degree is handled); each tier-2 row is
+    # scatter-added into its target row. Tier-2 rows are grouped by the
+    # owning shard (row-block of n_pad/n_shards) and zero-padded to a
+    # common per-shard count so the layout row-shards evenly under SPMD.
+    t_rows = full_rows[~in_ell]
+    t_cols = full_cols[~in_ell]
+    t_tri = full_tri[~in_ell]
+    t_rank = rank_in_row[~in_ell] - W
+    shard_size = n_pad // max(n_shards, 1)
+    ell2_rows, ell2_cols, ell2_tri, R2_shard = _build_tier2(
+        t_rows, t_cols, t_tri, t_rank, W2, P_pad,
+        max(n_shards, 1), shard_size,
+    )
 
     # ---- fast diagonal-constraints adjoint path ------------------------------
     # every sparse-constraint entry on the diagonal? then S@X needs no
@@ -350,9 +454,9 @@ def compile_problem(
         n_groups=n_pad, width=Jd, fill_col=m,
     )
     diag_cid = diag_cid.astype(np.int64)
-    # static C values at ELL/tail slots (the pad slot P_pad-1 carries 0)
+    # static C values at ELL slots (the pad slot P_pad-1 carries 0)
     cell_val = c_val_one[ell_tri]
-    tail_cval = c_val_one[tail_tri] if T_pad else np.zeros(0)
+    cell2_val = c_val_one[ell2_tri] if ell2_rows.shape[0] else np.zeros((0, W2))
 
     # wide diagonal constraints as dense row-aligned weight rows (the
     # fast-diagonal SpMM path computes their forward values as
@@ -510,15 +614,17 @@ def compile_problem(
         pos_val=pos_val,
         all_cons_diagonal=all_cons_diagonal,
         cell_val=cell_val,
-        tail_cval=tail_cval,
+        cell2_val=cell2_val,
         diag_width=Jd,
         diag_cid=diag_cid.astype(INDEX_DTYPE),
         diag_w=diag_w,
         ell_cols=ell_cols,
         ell_tri=ell_tri.astype(INDEX_DTYPE),
-        tail_rows=tail_rows,
-        tail_cols=tail_cols,
-        tail_tri=tail_tri.astype(INDEX_DTYPE),
+        ell2_width=W2,
+        ell2_shards=max(n_shards, 1),
+        ell2_rows=ell2_rows,
+        ell2_cols=ell2_cols,
+        ell2_tri=ell2_tri.astype(INDEX_DTYPE),
         b=prob.b.copy(),
         lam_ub=lam_ub,
         vio_lb=vio_lb,

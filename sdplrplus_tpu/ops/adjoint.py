@@ -13,7 +13,7 @@ MKLSparse. Here:
     gathers, the fast path on TPU (~3 ns/index on v5e vs ~8 ns for the
     scalar-path scatter a segment-sum would lower to),
   * the SpMM reads S values through the triu indices baked into an
-    ELL(+COO tail) layout of the full symmetric pattern, a gather +
+    two-tier ELL layout of the full symmetric pattern, a gather +
     weighted row-sum that XLA fuses.
 
 Low-rank operands contribute rank-s MXU updates y_g · B(d ⊙ (BᵀX))
@@ -54,7 +54,7 @@ def assemble_s_tri(dp: DeviceProblem, y_full: jax.Array) -> jax.Array:
 
     ``y_full`` is the length-(m+1) weight vector (slot m multiplies C).
     s_tri[p] = c_val_one[p]·y[m] + Σⱼ pos_val[p,j]·y[pos_cid[p,j]].
-    Padding slots carry zero weights and are exactly zero; ELL/tail
+    Padding slots carry zero weights and are exactly zero; ELL/tier-2
     padding entries point at the last (guaranteed-zero) slot.
     (reference: src/coreop.jl:205-258)
     """
@@ -89,7 +89,7 @@ def apply_S(
             BtX = _psum(t.B.T @ X, dp)
             out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
         return out
-    from .spmm import spmm_contract, spmm_gather, spmm_tail
+    from .spmm import spmm_contract, spmm_gather, spmm_tier2, tier2_offset
 
     n_loc, W = dp.ell_cols.shape
     X_full = _full(dp, X)
@@ -97,18 +97,20 @@ def apply_S(
     if dp.all_cons_diagonal:
         out = y_full[dp.m] * spmm_contract(dp.cell_val, Xg)
         out = out + diag_weights(dp, y_full)[:, None] * X
-        if dp.has_tail:
-            out = out + y_full[dp.m] * spmm_tail(
+        if dp.has_ell2:
+            out = out + y_full[dp.m] * spmm_tier2(
                 jnp.zeros_like(out), X_full,
-                dp.tail_rows, dp.tail_cols, dp.tail_cval,
+                dp.ell2_rows, dp.ell2_cols, dp.cell2_val, tier2_offset(dp),
             )
     else:
         s_w = _widen(s_tri)
         s_ell = jnp.take(s_w, dp.ell_tri.reshape(-1), axis=0)[:, 0].reshape(n_loc, W)
         out = spmm_contract(s_ell, Xg)
-        if dp.has_tail:
-            tv = jnp.take(s_w, dp.tail_tri, axis=0)[:, 0]  # (T,)
-            out = spmm_tail(out, X_full, dp.tail_rows, dp.tail_cols, tv)
+        if dp.has_ell2:
+            R2, W2 = dp.ell2_tri.shape
+            s2 = jnp.take(s_w, dp.ell2_tri.reshape(-1), axis=0)[:, 0].reshape(R2, W2)
+            out = spmm_tier2(out, X_full, dp.ell2_rows, dp.ell2_cols, s2,
+                             tier2_offset(dp))
     for t in dp.lowrank:
         BtX = _psum(t.B.T @ X, dp)                # (s, r), MXU (+psum)
         out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))

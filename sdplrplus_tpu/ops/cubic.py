@@ -95,7 +95,19 @@ def minimize_quartic(coeffs, alpha_max):
     Returns (alpha_star, f_star).
     """
     e, d, c, b, a = coeffs
-    roots = cubic_real_roots(4.0 * a, 3.0 * b, 2.0 * c, d)
+    # the argmin is invariant under uniform scaling of the derivative
+    # coefficients; normalize by their largest magnitude so the Cardano
+    # intermediates (squares/cubes of the coefficients) cannot overflow
+    # float32 on badly-scaled problems (e.g. μ-conductance's dᵀXd
+    # coupling constraint puts the raw coefficients at ~1e13, whose
+    # cubes are inf in f32)
+    scale = jnp.maximum(
+        jnp.maximum(jnp.abs(a), jnp.abs(b)),
+        jnp.maximum(jnp.abs(c), jnp.abs(d)),
+    )
+    scale = jnp.where(scale > 0, scale, 1.0)
+    roots = cubic_real_roots(4.0 * a / scale, 3.0 * b / scale,
+                             2.0 * c / scale, d / scale)
     zero = jnp.zeros_like(alpha_max)
     cands = jnp.concatenate(
         [roots, jnp.stack([alpha_max, zero])]

@@ -40,14 +40,14 @@ class DeviceProblem:
     pos_cid: jax.Array
     pos_val: jax.Array
     cell_val: jax.Array
-    tail_cval: jax.Array
+    cell2_val: jax.Array
     diag_cid: jax.Array
     diag_w: jax.Array
     ell_cols: jax.Array
     ell_tri: jax.Array
-    tail_rows: jax.Array
-    tail_cols: jax.Array
-    tail_tri: jax.Array
+    ell2_rows: jax.Array
+    ell2_cols: jax.Array
+    ell2_tri: jax.Array
     b: jax.Array
     lam_ub: jax.Array
     vio_lb: jax.Array
@@ -85,7 +85,9 @@ class DeviceProblem:
     # and nnz arrays are device-local shards; scalar reductions psum and
     # the factor row support is all-gathered (SURVEY §5 collectives)
     spmd_axis: str = dataclasses.field(metadata=dict(static=True), default=None)
-    has_tail: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    has_ell2: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    ell2_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    ell2_shards: int = dataclasses.field(metadata=dict(static=True), default=1)
     has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
     normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     normb: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -133,14 +135,14 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         pos_cid=i(cp.pos_cid),
         pos_val=f(cp.pos_val),
         cell_val=f(cp.cell_val),
-        tail_cval=f(cp.tail_cval),
+        cell2_val=f(cp.cell2_val),
         diag_cid=i(cp.diag_cid),
         diag_w=f(cp.diag_w),
         ell_cols=i(cp.ell_cols),
         ell_tri=i(cp.ell_tri),
-        tail_rows=i(cp.tail_rows),
-        tail_cols=i(cp.tail_cols),
-        tail_tri=i(cp.tail_tri),
+        ell2_rows=i(cp.ell2_rows),
+        ell2_cols=i(cp.ell2_cols),
+        ell2_tri=i(cp.ell2_tri),
         b=f(cp.b),
         lam_ub=f(cp.lam_ub),
         vio_lb=f(cp.vio_lb),
@@ -171,7 +173,9 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         diag_width=cp.diag_width,
         all_cons_diagonal=cp.all_cons_diagonal,
         wide_gids=tuple(cp.wide_gids),
-        has_tail=cp.tail_rows.shape[0] > 0,
+        has_ell2=cp.ell2_rows.shape[0] > 0,
+        ell2_width=cp.ell2_width,
+        ell2_shards=cp.ell2_shards,
         has_inequalities=cp.has_inequalities,
         normC=float(cp.normC),
         normb=float(cp.normb),

@@ -1,5 +1,5 @@
 """The sparse×dense SpMM kernel: out = M @ X for a static sparse symmetric
-matrix M held in ELL(+COO tail) layout, X a dense (n, r) factor.
+matrix M held in two-tier ELL layout, X a dense (n, r) factor.
 
 This is the hot kernel of the whole solver — the TPU counterpart of the
 reference's MKLSparse SpMM in the adjoint/gradient path (reference:
@@ -7,9 +7,12 @@ src/coreop.jl:260-300) and of its Lanczos matvec (src/coreop.jl:483).
 
 Design (measured on v5e, exps/probe*.py; numbers in docs/DESIGN.md):
 
-  * The layout is padded ELL over rows — ``cols[n_pad, W]`` / ``val[n_pad, W]``
-    with a COO tail for rows whose degree exceeds W. Pad slots point at a
-    guaranteed-zero row so no masking is needed.
+  * The layout is two-tier padded ELL — ``cols[n_pad, W]`` /
+    ``val[n_pad, W]`` with width-W2 tier-2 rows (scatter-added, chunked)
+    for rows whose degree exceeds W. W/W2 are cost-model chosen from the
+    degree distribution (compile._choose_ell_widths), so near-regular
+    graphs pay ~no padding and power-law graphs don't blow up the width.
+    Pad slots point at a guaranteed-zero row so no masking is needed.
   * The compute form is ONE row-gather ``take(X, cols)`` followed by a
     width-contraction einsum. XLA lowers the gather to the hardware
     gather unit at ~2.5-3.6 ns/index with the lane width (r) free up to
@@ -38,6 +41,14 @@ import jax.numpy as jnp
 from .device import DeviceProblem
 
 
+def tier2_offset(dp: DeviceProblem):
+    """Offset localizing tier-2 global target rows under shard_map:
+    axis_index × local-row-count (0 single-device)."""
+    if dp.spmd_axis is None:
+        return 0
+    return jax.lax.axis_index(dp.spmd_axis) * dp.ell_cols.shape[0]
+
+
 def spmm_gather(X_full: jax.Array, ell_cols: jax.Array) -> jax.Array:
     """Gather step: (n_loc, W) column ids -> (n_loc, W, r) rows of X.
 
@@ -54,34 +65,44 @@ def spmm_contract(val: jax.Array, Xg: jax.Array) -> jax.Array:
     return jnp.einsum("nw,nwr->nr", val, Xg)
 
 
-def spmm_tail(
+def spmm_tier2(
     out: jax.Array,
     X_full: jax.Array,
-    tail_rows: jax.Array,
-    tail_cols: jax.Array,
-    tail_val: jax.Array,
+    ell2_rows: jax.Array,
+    ell2_cols: jax.Array,
+    ell2_val: jax.Array,
+    local_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """Add the COO-tail contribution for rows overflowing the ELL width."""
-    contrib = tail_val[:, None] * jnp.take(X_full, tail_cols, axis=0)
-    return out + jax.ops.segment_sum(
-        contrib, tail_rows, num_segments=out.shape[0]
-    )
+    """Add the tier-2 contribution: rows whose degree exceeds the tier-1
+    width spill into extra width-W2 ELL rows; each is gathered/contracted
+    like tier-1 and scatter-added into its target row. The scatter costs
+    ~6× a gather slot per ROW (not per nnz) and tier-2 rows are few, so
+    the premium is amortized (see compile._choose_ell_widths).
+
+    ``local_offset``: under shard_map the output rows are the local
+    shard; tier-2 target rows are stored globally and grouped by owning
+    shard, so the caller passes axis_index·n_local to localize them."""
+    contrib = spmm_contract(ell2_val, spmm_gather(X_full, ell2_cols))
+    rows = ell2_rows - local_offset
+    return out.at[rows].add(contrib)
 
 
 def spmm_ell(
     X_full: jax.Array,
     ell_cols: jax.Array,
     ell_val: jax.Array,
-    tail_rows: jax.Array | None = None,
-    tail_cols: jax.Array | None = None,
-    tail_val: jax.Array | None = None,
+    ell2_rows: jax.Array | None = None,
+    ell2_cols: jax.Array | None = None,
+    ell2_val: jax.Array | None = None,
+    local_offset: jax.Array | int = 0,
 ) -> jax.Array:
-    """out = M @ X for M in ELL(+tail) layout. X_full must carry the full
-    column support (all-gathered under shard_map); the output rows match
-    the (possibly sharded) ell_cols rows."""
+    """out = M @ X for M in two-tier ELL layout. X_full must carry the
+    full column support (all-gathered under shard_map); the output rows
+    match the (possibly sharded) ell_cols rows."""
     out = spmm_contract(ell_val, spmm_gather(X_full, ell_cols))
-    if tail_rows is not None and tail_rows.shape[0] > 0:
-        out = spmm_tail(out, X_full, tail_rows, tail_cols, tail_val)
+    if ell2_rows is not None and ell2_rows.shape[0] > 0:
+        out = spmm_tier2(out, X_full, ell2_rows, ell2_cols, ell2_val,
+                         local_offset)
     return out
 
 
@@ -94,6 +115,7 @@ def spmm_C(dp: DeviceProblem, X_full: jax.Array) -> jax.Array:
     caller as MXU matmuls. ``X_full`` must already carry the full row
     support; rows of the result align with dp.ell_cols' (local) rows."""
     out = spmm_contract(dp.cell_val, spmm_gather(X_full, dp.ell_cols))
-    if dp.has_tail:
-        out = spmm_tail(out, X_full, dp.tail_rows, dp.tail_cols, dp.tail_cval)
+    if dp.has_ell2:
+        out = spmm_tier2(out, X_full, dp.ell2_rows, dp.ell2_cols,
+                         dp.cell2_val, tier2_offset(dp))
     return out

@@ -45,10 +45,11 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
     maps and the m-length vectors replicated. Returns (dp_spmd, specs).
     """
     nd = int(np.prod(mesh.devices.shape))
-    if cp.tail_rows.shape[0] > 0:
-        raise NotImplementedError(
-            "shard_map path requires an ELL-only layout (no COO tail); "
-            "recompile with a larger ell_width."
+    if cp.ell2_rows.shape[0] > 0 and cp.ell2_shards != nd:
+        raise ValueError(
+            f"tier-2 ELL rows were grouped for {cp.ell2_shards} shard(s) "
+            f"but the mesh has {nd} devices; recompile with "
+            f"compile_problem(..., n_shards={nd})"
         )
     for dim, name in [(cp.n_pad, "n_pad"), (cp.P_pad, "P_pad")]:
         if dim % nd != 0:
@@ -81,14 +82,14 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         pos_cid=rep,
         pos_val=rep,
         cell_val=row,
-        tail_cval=rep,
+        cell2_val=row,
         diag_cid=row,
         diag_w=row,
         ell_cols=row,
         ell_tri=row,
-        tail_rows=rep,
-        tail_cols=rep,
-        tail_tri=rep,
+        ell2_rows=P(AXIS),
+        ell2_cols=row,
+        ell2_tri=row,
         b=rep,
         lam_ub=rep,
         vio_lb=rep,
@@ -107,7 +108,9 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         diag_width=dp.diag_width,
         all_cons_diagonal=dp.all_cons_diagonal,
         wide_gids=dp.wide_gids,
-        has_tail=dp.has_tail,
+        has_ell2=dp.has_ell2,
+        ell2_width=dp.ell2_width,
+        ell2_shards=dp.ell2_shards,
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,
         normb=dp.normb,

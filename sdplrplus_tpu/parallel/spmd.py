@@ -64,7 +64,15 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         DeviceLowRank(B=put(t.B, s_row), d=put(t.d, s_rep), gid=t.gid)
         for t in dp.lowrank
     )
-    tail_sh = s_nnz if dp.tail_rows.shape[0] % nd == 0 and dp.tail_rows.shape[0] > 0 else s_rep
+    # tier-2 rows are grouped per owning shard at compile time; under
+    # GSPMD the scatter target is the full row axis, so row-block them
+    # when evenly divisible and replicate otherwise
+    e2_sh = (NamedSharding(mesh, P(AXIS, None))
+             if dp.ell2_rows.shape[0] % nd == 0 and dp.ell2_rows.shape[0] > 0
+             else s_rep)
+    e2_vec = (NamedSharding(mesh, P(AXIS))
+              if dp.ell2_rows.shape[0] % nd == 0 and dp.ell2_rows.shape[0] > 0
+              else s_rep)
     con_sh = s_row if dp.con_pos.shape[0] % nd == 0 and dp.con_pos.shape[0] > 0 else s_rep
     return DeviceProblem(
         agg_rows=put(dp.agg_rows, s_nnz),
@@ -79,14 +87,14 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         pos_cid=put(dp.pos_cid, s_row),
         pos_val=put(dp.pos_val, s_row),
         cell_val=put(dp.cell_val, s_row),
-        tail_cval=put(dp.tail_cval, tail_sh),
+        cell2_val=put(dp.cell2_val, e2_sh),
         diag_cid=put(dp.diag_cid, s_row),
         diag_w=put(dp.diag_w, s_row),
         ell_cols=put(dp.ell_cols, s_row),
         ell_tri=put(dp.ell_tri, s_row),
-        tail_rows=put(dp.tail_rows, tail_sh),
-        tail_cols=put(dp.tail_cols, tail_sh),
-        tail_tri=put(dp.tail_tri, tail_sh),
+        ell2_rows=put(dp.ell2_rows, e2_vec),
+        ell2_cols=put(dp.ell2_cols, e2_sh),
+        ell2_tri=put(dp.ell2_tri, e2_sh),
         b=put(dp.b, s_rep),
         lam_ub=put(dp.lam_ub, s_rep),
         vio_lb=put(dp.vio_lb, s_rep),
@@ -102,7 +110,9 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         diag_width=dp.diag_width,
         all_cons_diagonal=dp.all_cons_diagonal,
         wide_gids=dp.wide_gids,
-        has_tail=dp.has_tail,
+        has_ell2=dp.has_ell2,
+        ell2_width=dp.ell2_width,
+        ell2_shards=dp.ell2_shards,
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,
         normb=dp.normb,

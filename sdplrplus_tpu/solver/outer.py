@@ -92,6 +92,17 @@ def _warm_vars(dp, R, r_new: int, rng: np.random.Generator, dtype):
     return jnp.asarray(Rp, dtype=dtype)
 
 
+def _gtol_floor(config: SolverConfig, dtype) -> float:
+    """Floor for the per-major stationarity tolerance.
+
+    The reference tightens cur_gtol /= σ without bound
+    (src/sdplr.jl:358-364); in float64 that is harmless, but in float32
+    the schedule underflows to literally 0 after a few tens of feasible
+    boundaries and the inner loop can then only exit through stagnation.
+    Floor at a few ulps of the compute dtype (or the user's gtol)."""
+    return max(config.gtol, 8.0 * float(jnp.finfo(jnp.dtype(dtype)).eps))
+
+
 def _stagnation_tol(config: SolverConfig, dtype) -> float:
     """fprec·eps threshold (reference: src/sdplr.jl:239 uses Float64 eps).
 
@@ -234,7 +245,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         return init_major_carry(
             dp, R, lam, sigma0,
             max(1.0 / sigma0**0.1, config.ptol),
-            max(1.0 / sigma0, config.gtol),
+            max(1.0 / sigma0, _gtol_floor(config, dtype)),
             key, lbfgs_init(k, dp.n_pad, r, dtype), config.rankupd_tol,
             gtol_relative=gtol_rel, ptol_relative=ptol_rel,
             with_cx=cx_for(r),
@@ -243,6 +254,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     carry = fresh_carry(R, lam, key)
     base_total = 0   # inner steps completed before the current carry lifetime
     base_major = 0   # major boundaries completed before the current lifetime
+    q_boost = 1      # Lanczos budget escalation once r hits the BP cap
     timed_out = False
     vio_norm = float("inf")
 
@@ -261,9 +273,10 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             print("Warning: major iteration limit exceeded. Stop optimizing.")
             break
 
-        q_need = lanczos_q(total_iter + chunk, n)
+        q_need = lanczos_q(total_iter + chunk, n) * q_boost
         if config.eigval_highprecision:
             q_need = min(max(100, 2 * q_need), n)
+        q_need = min(q_need, max(n, 1))
         q_max = bucket_q_max(q_need)
 
         mkw, mdata = mega_kwargs(r)
@@ -274,7 +287,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             jnp.asarray(base_total, jnp.int32),
             jnp.asarray(stag_tol, dtype),
             jnp.asarray(config.ptol, dtype),
-            jnp.asarray(config.gtol, dtype),
+            jnp.asarray(_gtol_floor(config, dtype), dtype),
             jnp.asarray(config.objtol, dtype),
             jnp.asarray(config.sigmafac, dtype),
             jnp.asarray(config.prior_trace_bound, dtype),
@@ -321,9 +334,25 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         if bool(carry.converged):
             break
         if bool(carry.rank_double):
+            r_new = next_rank(r, n, m)
+            if r_new == r:
+                # already at the Barvinok–Pataki cap: a "rank double" is a
+                # no-op, so escalate the Lanczos budget instead — the gap
+                # stall that triggered the counter is often a dual bound
+                # limited by eigensolve quality (safeguard margin), not by
+                # the primal rank. Bounded: q_boost doubles to ≤64.
+                q_boost = min(q_boost * 2, 64)
+                if config.printlevel > 0:
+                    print(f"rank at Barvinok-Pataki cap {r}; "
+                          f"raising Lanczos budget x{q_boost}.")
+                carry = carry._replace(
+                    rank_double=jnp.asarray(False),
+                    rankupd_cnt=jnp.asarray(config.rankupd_tol, jnp.int32),
+                )
+                continue
             base_total = total_iter
             base_major = majoriter
-            r = next_rank(r, n, m)
+            r = r_new
             if config.printlevel > 0:
                 print(f"rank doubled, new rank is {r}.")
             if config.rank_update_mode == "warm" and config.init_func is None:
@@ -490,7 +519,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             mega_runs[r_now] = mega_factory(r_now)
         return mega_runs[r_now]
 
-    cur_gtol = max(1.0 / sigma, config.gtol)
+    cur_gtol = max(1.0 / sigma, _gtol_floor(config, dtype))
     cur_ptol = max(1.0 / sigma**0.1, config.ptol)
 
     L_val, vio_raw, G, y_full, gnorm_d, pnorm_d = _fg(
@@ -657,7 +686,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             lbfgs = lbfgs_clear(lbfgs)
 
         cur_ptol = max(cur_ptol, config.ptol)
-        cur_gtol = max(cur_gtol, config.gtol)
+        cur_gtol = max(cur_gtol, _gtol_floor(config, dtype))
 
         # checkpoint at the major-iteration boundary (SURVEY §5)
         if (

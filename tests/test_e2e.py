@@ -166,3 +166,41 @@ def test_fused_matches_host_driver_inequality():
     assert rf["iter"] == rh["iter"]
     assert rf["majoriter"] == rh["majoriter"]
     assert abs(rf["obj"] - rh["obj"]) < 1e-8
+
+
+def test_mu_conductance_ineq_e2e_n100():
+    """Non-toy inequality e2e: the native μ-conductance SDP at n=100
+    (reference flagship inequality family, exps/problems.jl:295-341 /
+    test/problem.jl:196-236). Exercises the Armijo line search and
+    capped-violation semantics at real scale, and checks the box
+    constraints lb <= X_ii <= ub actually hold on the returned factor."""
+    from sdplrplus_tpu.models import (
+        make_random_graph, mu_conductance_ineq, mu_conductance_lb,
+        mu_conductance_ub,
+    )
+
+    mu = 0.1
+    A = make_random_graph(100, 0.12, seed=5)
+    C, As, b, ct = mu_conductance_ineq(A, mu)
+    n = 100
+    volG = float(np.asarray(A.sum()))
+    ub = mu_conductance_ub(volG, mu)
+    lb = mu_conductance_lb(volG, mu)
+    res = sdplr(
+        C, As, b, 5, constraint_types=ct,
+        objtol=1e-2, ptol=1e-2,
+        prior_trace_bound=n * ub, printlevel=0,
+        maxmajoriter=200, maxtime=600.0,
+    )
+    assert res["primal_vio"] <= 1e-2
+    assert res["min_duality_gap"] <= 1e-2
+    X_diag = np.sum(res["R"] ** 2, axis=1)
+    # ptol bounds the capped-violation NORM relative to ‖b‖ (≈1 here), so
+    # individual box entries may exceed ub by up to ~ptol·‖b‖ in absolute
+    # terms — check per-entry feasibility at that granularity
+    tol = 1e-2
+    assert np.all(X_diag <= ub + tol)
+    assert np.all(X_diag >= lb - tol)
+    # the volume normalization constraint sum d_i X_ii = 1
+    d = np.asarray(A.sum(axis=1)).reshape(-1)
+    assert abs(float(d @ X_diag) - 1.0) <= 2e-2

@@ -26,9 +26,8 @@ def test_shardmap_inner_matches_single_device(gen):
     A = make_random_graph(48, 0.5, seed=7)
     C, As, b = gen(A)
     prob = SDPProblem(C, As, b, None)
-    # wide ELL so there is no COO tail (shard_map v1 requirement)
     cp = compile_problem(prob, ell_width=64)
-    assert cp.tail_rows.shape[0] == 0
+    assert cp.ell2_rows.shape[0] == 0  # width 64 covers every row here
     r, k = 3, 4
     rng = np.random.default_rng(0)
     R0 = np.zeros((cp.n_pad, r))
@@ -81,7 +80,7 @@ def test_shardmap_major_matches_single_device(dense):
     C, As, b = maxcut(A)
     prob = SDPProblem(C, As, b, None)
     cp = compile_problem(prob, ell_width=64, dense=dense)
-    assert cp.tail_rows.shape[0] == 0
+    assert cp.ell2_rows.shape[0] == 0
     r, k = 3, 4
     rng = np.random.default_rng(1)
     R0 = np.zeros((cp.n_pad, r))
