@@ -28,7 +28,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--problems", nargs="+",
                    default=["MaxCut", "MinimumBisection", "CutNorm",
-                            "LovaszTheta"])
+                            "LovaszTheta", "MuConductance"])
+    p.add_argument("--mu", type=float, default=0.1)
     p.add_argument("--graphs", nargs="+",
                    default=[f"G{i}" for i in range(1, 10)])
     p.add_argument("--ptol", type=float, default=1e-2)
@@ -46,18 +47,27 @@ def main():
     from sdplrplus_tpu import sdplr
     from sdplrplus_tpu.models import (
         cutnorm, lovasz_theta, maxcut, minimum_bisection,
+        mu_conductance_ineq, mu_conductance_ub,
     )
     from sdplrplus_tpu.utils.io import gset_path, load_mat_adjacency
     from sdplrplus_tpu.utils.rounding import (
         dummy_callback, maxcut_rounding, minimum_bisection_rounding,
     )
 
+    import numpy as np
+
+    def _mu_tb(n, A):
+        volG = float(np.asarray(A.sum()))
+        return float(n) * mu_conductance_ub(volG, args.mu)
+
     builders = {
-        "MaxCut": (maxcut, maxcut_rounding, lambda n: float(n)),
+        "MaxCut": (maxcut, maxcut_rounding, lambda n, A: float(n)),
         "MinimumBisection": (minimum_bisection, minimum_bisection_rounding,
-                             lambda n: float(n)),
-        "LovaszTheta": (lovasz_theta, dummy_callback, lambda n: 1.0),
-        "CutNorm": (cutnorm, dummy_callback, lambda n: float(n)),
+                             lambda n, A: float(n)),
+        "LovaszTheta": (lovasz_theta, dummy_callback, lambda n, A: 1.0),
+        "CutNorm": (cutnorm, dummy_callback, lambda n, A: float(n)),
+        "MuConductance": (lambda A: mu_conductance_ineq(A, args.mu),
+                          dummy_callback, _mu_tb),
     }
 
     failures = []
@@ -65,7 +75,10 @@ def main():
         builder, callback, tb = builders[prob_name]
         warmed = False
         for graph in args.graphs:
-            path = gset_path(graph, problem=prob_name, root=args.data_root)
+            data_problem = ("MaxCut" if prob_name == "MuConductance"
+                            else prob_name)
+            path = gset_path(graph, problem=data_problem,
+                             root=args.data_root)
             if not os.path.exists(path):
                 print(f"[{prob_name}/{graph}] SKIP (no {path})")
                 continue
@@ -76,7 +89,7 @@ def main():
                 C, As, b = out[:3]
                 ct = out[3] if len(out) == 4 else None
                 common = dict(
-                    constraint_types=ct, prior_trace_bound=tb(n),
+                    constraint_types=ct, prior_trace_bound=tb(n, A),
                     dataset=graph, seed=args.seed, dtype=args.dtype,
                     printlevel=0,
                 )
@@ -108,10 +121,10 @@ def main():
                 with open(fp, "w") as f:
                     json.dump(short, f, indent=4, default=float)
                 ok = (res["primal_vio"] <= args.ptol * 1.01
-                      and res["min_duality_gap"] <= args.objtol * 1.01)
+                      and res["rel_duality_gap"] <= args.objtol * 1.01)
                 print(f"[{prob_name}/{graph}] obj={res['obj']:.4f} "
                       f"pinfeas={res['primal_vio']:.2e} "
-                      f"gap={res['min_duality_gap']:.2e} wall={wall:.2f}s "
+                      f"gap={res['rel_duality_gap']:.2e} wall={wall:.2f}s "
                       f"iters={res['iter']} majors={res['majoriter']} "
                       f"{'OK' if ok else 'MISSED-TOL'}",
                       flush=True)

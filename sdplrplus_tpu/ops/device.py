@@ -91,6 +91,9 @@ class DeviceProblem:
     has_inequalities: bool = dataclasses.field(metadata=dict(static=True), default=False)
     normC: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     normb: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    # constraint i is exactly X_ii (MaxCut/CutNorm shape): enables the
+    # closed-form least-squares dual estimate (solver/major.py dual_bound)
+    diag_identity: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def dtype(self):
@@ -112,6 +115,21 @@ def fast_diag_eligible(dp) -> bool:
         and getattr(dp, "fn_apply_S", None) is None
         and getattr(dp, "fn_A_uu", None) is None
     )
+
+
+def _diag_identity(cp: CompiledProblem) -> bool:
+    """True when constraint i is exactly X_ii (weight 1, bijection with the
+    first m rows) — MaxCut/CutNorm-shaped. Enables the closed-form
+    least-squares dual estimate in the dual bound (solver/major.py):
+    y minimizing ‖S(y)·R‖ is then y_i = -⟨(CR)_i, R_i⟩/‖R_i‖²."""
+    n, m = cp.n, cp.m
+    if not cp.all_cons_diagonal or cp.wide_gids or cp.diag_width != 1:
+        return False
+    if m != n or any(t.gid != m for t in cp.lowrank):
+        return False
+    cid = np.asarray(cp.diag_cid)[:n, 0]
+    w = np.asarray(cp.diag_w)[:n, 0]
+    return bool((cid == np.arange(n)).all() and (w == 1.0).all())
 
 
 def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
@@ -179,4 +197,5 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         has_inequalities=cp.has_inequalities,
         normC=float(cp.normC),
         normb=float(cp.normb),
+        diag_identity=_diag_identity(cp),
     )

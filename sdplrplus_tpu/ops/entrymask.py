@@ -46,6 +46,52 @@ def entry_enabled(dp: DeviceProblem) -> bool:
     return dp.ew_c2 is not None
 
 
+# Under shard_map every (n_pad, n_pad) mask (and the carried v_ew/Λ_ew)
+# is ROW-sharded: local block (n_loc, n_pad). The left factor of every
+# matmul is the local row block, the right factor is the all-gathered
+# full matrix, so products like R·Dᵀ + D·Rᵀ need NO transpose of a
+# sharded array; masked reductions psum; the m-vector scatters/gathers
+# localize through the shard's row offset.
+
+def _row_offset(dp: DeviceProblem, n_loc: int):
+    if dp.spmd_axis is None:
+        return 0
+    return jax.lax.axis_index(dp.spmd_axis) * n_loc
+
+
+def _psum(x, dp: DeviceProblem):
+    if dp.spmd_axis is None:
+        return x
+    return jax.lax.psum(x, dp.spmd_axis)
+
+
+def _full_rows(dp: DeviceProblem, X):
+    """All-gather a row-sharded (n_loc, ...) array to (n_pad, ...)."""
+    if dp.spmd_axis is None:
+        return X
+    from .forward import _full
+
+    return _full(dp, X)
+
+
+def _scatter_sym(dp: DeviceProblem, base, vals):
+    """Scatter per-entry values at (rows, cols) AND the mirrored
+    positions into the local row block (no-op rows owned elsewhere)."""
+    n_loc = base.shape[0]
+    off = _row_offset(dp, n_loc)
+
+    def scat(M, rows, cols, v):
+        lr = rows - off
+        valid = jnp.logical_and(lr >= 0, lr < n_loc)
+        lr = jnp.clip(lr, 0, n_loc - 1)
+        return M.at[lr, cols].add(jnp.where(valid, v, 0.0))
+
+    M = scat(base, dp.entry_rows, dp.entry_cols, vals)
+    offdiag = dp.entry_rows != dp.entry_cols
+    return scat(M, dp.entry_cols, dp.entry_rows,
+                jnp.where(offdiag, vals, 0.0))
+
+
 def _n_extra_wide(dp: DeviceProblem) -> int:
     return 0 if dp.extra_wide_w is None else dp.extra_wide_w.shape[0]
 
@@ -66,10 +112,7 @@ def entry_split(dp: DeviceProblem, vio_raw: jax.Array):
     """(m+1,) raw violations -> (v_ew [n,n], v_ex [n_ex], obj)."""
     v = vio_raw[: dp.m]
     ve = v[dp.entry_gids]
-    n_pad = dp.ew_c2.shape[0]
-    v_ew = jnp.zeros((n_pad, n_pad), vio_raw.dtype)
-    v_ew = v_ew.at[dp.entry_rows, dp.entry_cols].set(ve)
-    v_ew = v_ew.at[dp.entry_cols, dp.entry_rows].set(ve)
+    v_ew = _scatter_sym(dp, jnp.zeros_like(dp.ew_c2), ve)
     if dp.extra_gids:
         v_ex = v[jnp.asarray(dp.extra_gids)]
     else:
@@ -79,8 +122,16 @@ def entry_split(dp: DeviceProblem, vio_raw: jax.Array):
 
 def entry_merge(dp: DeviceProblem, v_ew, v_ex, obj) -> jax.Array:
     """Inverse of entry_split -> (m+1,) with slot m = obj."""
+    n_loc = v_ew.shape[0]
+    off = _row_offset(dp, n_loc)
+    lr = dp.entry_rows - off
+    valid = jnp.logical_and(lr >= 0, lr < n_loc)
+    ve = jnp.where(
+        valid, v_ew[jnp.clip(lr, 0, n_loc - 1), dp.entry_cols], 0.0
+    )
+    ve = _psum(ve, dp)
     vals = jnp.zeros((dp.m + 1,), v_ew.dtype)
-    vals = vals.at[dp.entry_gids].set(v_ew[dp.entry_rows, dp.entry_cols])
+    vals = vals.at[dp.entry_gids].set(ve)
     if dp.extra_gids:
         vals = vals.at[jnp.asarray(dp.extra_gids)].set(v_ex)
     return vals.at[dp.m].set(obj)
@@ -90,10 +141,7 @@ def entry_lam(dp: DeviceProblem, lam: jax.Array):
     """λ (m,) -> (Λ_ew [n,n], lam_ex [n_ex]) — loop-invariant inside a
     major iteration."""
     le = lam[dp.entry_gids]
-    n_pad = dp.ew_c2.shape[0]
-    L = jnp.zeros((n_pad, n_pad), lam.dtype)
-    L = L.at[dp.entry_rows, dp.entry_cols].set(le)
-    L = L.at[dp.entry_cols, dp.entry_rows].set(le)
+    L = _scatter_sym(dp, jnp.zeros_like(dp.ew_c2).astype(lam.dtype), le)
     if dp.extra_gids:
         lam_ex = lam[jnp.asarray(dp.extra_gids)]
     else:
@@ -108,10 +156,11 @@ def entry_lam(dp: DeviceProblem, lam: jax.Array):
 def apply_C_entry(dp: DeviceProblem, X: jax.Array) -> jax.Array:
     """C @ X: dense MXU matmul for sparse C, tall-skinny contraction for
     low-rank C (the gid == m term)."""
-    out = dp.ew_C @ X if dp.ew_C is not None else jnp.zeros_like(X)
+    X_full = _full_rows(dp, X)
+    out = dp.ew_C @ X_full if dp.ew_C is not None else jnp.zeros_like(X)
     for t in dp.lowrank:
         if t.gid == dp.m:
-            out = out + t.B @ (t.d[:, None] * (t.B.T @ X))
+            out = out + t.B @ (t.d[:, None] * _psum(t.B.T @ X, dp))
     return out
 
 
@@ -123,7 +172,7 @@ def gradient_entry(dp: DeviceProblem, R, CR, v_ew, v_ex, Lam_ew, lam_ex,
     incrementally by the caller (one matmul per line search serves both
     the objective slope and this term)."""
     S_ew = dp.ew_v1 * (sigma * v_ew - Lam_ew)
-    G = S_ew @ R + CR
+    G = S_ew @ _full_rows(dp, R) + CR
     nw = _n_extra_wide(dp)
     y_ex = -(lam_ex - sigma * v_ex)
     if nw:
@@ -153,9 +202,12 @@ def linesearch_entry(dp: DeviceProblem, R, D, v_ew, v_ex, obj,
     from .cubic import minimize_quartic
 
     H = dp.ew_h
-    M = R @ D.T
-    q1_ew = dp.ew_c2 * (M + M.T)          # 𝒜(RDᵀ+DRᵀ) at entries
-    q2_ew = dp.ew_c2 * (D @ D.T)          # 𝒜(DDᵀ) at entries
+    R_full = _full_rows(dp, R)
+    D_full = _full_rows(dp, D)
+    # (RDᵀ+DRᵀ) local row block without transposing a sharded array:
+    # row i of R·Dᵀ is Rᵢ·D_full, row i of D·Rᵀ is Dᵢ·R_full
+    q1_ew = dp.ew_c2 * (R @ D_full.T + D @ R_full.T)  # 𝒜(RDᵀ+DRᵀ)
+    q2_ew = dp.ew_c2 * (D @ D_full.T)                 # 𝒜(DDᵀ)
 
     # extras: wide diagonal constraints are row-sum reductions ...
     nw = _n_extra_wide(dp)
@@ -163,25 +215,26 @@ def linesearch_entry(dp: DeviceProblem, R, D, v_ew, v_ex, obj,
     q1_ex = jnp.zeros((n_ex,), R.dtype)
     q2_ex = jnp.zeros((n_ex,), R.dtype)
     if nw:
-        rd = 2.0 * jnp.sum(R * D, axis=1)  # diag(RDᵀ+DRᵀ)
+        rd = 2.0 * jnp.sum(R * D, axis=1)  # diag(RDᵀ+DRᵀ), local rows
         dd = jnp.sum(D * D, axis=1)
-        q1_ex = q1_ex.at[:nw].set(dp.extra_wide_w @ rd)
-        q2_ex = q2_ex.at[:nw].set(dp.extra_wide_w @ dd)
+        q1_ex = q1_ex.at[:nw].set(_psum(dp.extra_wide_w @ rd, dp))
+        q2_ex = q2_ex.at[:nw].set(_psum(dp.extra_wide_w @ dd, dp))
     # ... and low-rank constraints tall-skinny contractions
     for idx, t in _extra_lowrank(dp):
-        rb = R.T @ t.B
-        db = D.T @ t.B
+        rb = _psum(R.T @ t.B, dp)
+        db = _psum(D.T @ t.B, dp)
         q1_ex = q1_ex.at[idx].set(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
         q2_ex = q2_ex.at[idx].set(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
 
     # objective slope terms: one matmul CD serves p1, p2 AND the caller's
     # incremental CR update
     CD = apply_C_entry(dp, D)
-    p1 = 2.0 * jnp.vdot(R, CD)
-    p2 = jnp.vdot(D, CD)
+    p1 = 2.0 * _psum(jnp.vdot(R, CD), dp)
+    p2 = _psum(jnp.vdot(D, CD), dp)
 
     def cdot(a_ew, b_ew, a_ex, b_ex):
-        return jnp.sum(H * a_ew * b_ew) + jnp.dot(a_ex, b_ex)
+        # masked part is row-sharded (psum); extras are replicated
+        return _psum(jnp.sum(H * a_ew * b_ew), dp) + jnp.dot(a_ex, b_ex)
 
     # quartic coefficients (reference: src/linesearch.jl:20-56)
     e = (obj - cdot(Lam_ew, v_ew, lam_ex, v_ex)
@@ -216,24 +269,28 @@ def assemble_S_dense(dp: DeviceProblem, y_full: jax.Array) -> jax.Array:
     src/coreop.jl:402), which dominated Lovász-θ solves once the inner
     loop moved to dense-mask form."""
     ye = y_full[dp.entry_gids]
-    n_pad = dp.ew_c2.shape[0]
-    Y = jnp.zeros((n_pad, n_pad), y_full.dtype)
-    Y = Y.at[dp.entry_rows, dp.entry_cols].set(ye)
-    Y = Y.at[dp.entry_cols, dp.entry_rows].set(ye)
+    Y = _scatter_sym(dp, jnp.zeros_like(dp.ew_c2).astype(y_full.dtype), ye)
     S = dp.ew_v1 * Y
     if dp.ew_C is not None:
         S = S + y_full[dp.m] * dp.ew_C
+    n_loc = S.shape[0]
+    off = _row_offset(dp, n_loc)
     nw = _n_extra_wide(dp)
     if nw:
+        # extra_wide_w columns are the LOCAL rows' global positions, so
+        # the diagonal contribution lands at (i_local, i_local + offset)
         y_exw = y_full[jnp.asarray(dp.extra_gids[:nw])]
-        S = S + jnp.diag(y_exw @ dp.extra_wide_w)
+        dvals = y_exw @ dp.extra_wide_w
+        i_loc = jnp.arange(n_loc)
+        S = S.at[i_loc, i_loc + off].add(dvals)
     for t in dp.lowrank:
-        S = S + y_full[t.gid] * ((t.B * t.d[None, :]) @ t.B.T)
+        B_full = _full_rows(dp, t.B)
+        S = S + y_full[t.gid] * ((t.B * t.d[None, :]) @ B_full.T)
     return S
 
 
 def vio_norm_entry(dp: DeviceProblem, v_ew, v_ex, pscale) -> jax.Array:
     """‖v‖₂ over constraints (equality-only: no capping,
     reference: src/coreop.jl:22)."""
-    sq = jnp.sum(dp.ew_h * v_ew * v_ew) + jnp.dot(v_ex, v_ex)
+    sq = _psum(jnp.sum(dp.ew_h * v_ew * v_ew), dp) + jnp.dot(v_ex, v_ex)
     return jnp.sqrt(sq) / pscale

@@ -57,14 +57,16 @@ def _reduce(dp: DeviceProblem, uv: jax.Array) -> jax.Array:
     partial reduced by psum, and the constraint/wide lookups read the
     all-gathered uv (constraint index maps are replicated there)."""
     obj = _psum(jnp.dot(dp.c_val_two, uv), dp)
+    if dp.wide_gids:  # wide constraints: dense P-aligned rows (e.g. trace)
+        # wide_val_two is nnz-sharded like uv: partial dot + psum
+        wide_vals = _psum(dp.wide_val_two @ uv, dp)
     if dp.spmd_axis is not None:
         uv = lax.all_gather(uv, dp.spmd_axis, axis=0, tiled=True)
     uv_w = _widen(uv)
     g = jnp.take(uv_w, dp.con_pos.reshape(-1), axis=0)[:, 0]
     cons = jnp.sum(dp.con_val_two * g.reshape(dp.m, dp.con_width), axis=1)
     vals = jnp.concatenate([cons, obj[None]])
-    if dp.wide_gids:  # wide constraints: dense P-aligned rows (e.g. trace)
-        wide_vals = dp.wide_val_two @ uv
+    if dp.wide_gids:
         vals = vals.at[jnp.asarray(dp.wide_gids)].set(wide_vals)
     return vals
 

@@ -75,7 +75,10 @@ def lanczos_alpha_beta_impl(
 
     def matvec(v):
         if S_dense is not None:
-            return S_dense @ v
+            from .forward import _full
+
+            # entry mode: S_dense rows are the local shard; gather v rows
+            return S_dense @ _full(dp, v)
         return apply_S(dp, s_tri, y_full, v)
 
     breakdown_tol = jnp.sqrt(jnp.asarray(dp.n, dtype)) * jnp.finfo(dtype).eps
@@ -127,7 +130,10 @@ def lanczos_alpha_beta_reorth_impl(
 
     def matvec(v):
         if S_dense is not None:
-            return S_dense @ v
+            from .forward import _full
+
+            # entry mode: S_dense rows are the local shard; gather v rows
+            return S_dense @ _full(dp, v)
         return apply_S(dp, s_tri, y_full, v)
 
     V0 = jnp.zeros((q_max, v.shape[0]), dtype=dtype)

@@ -56,15 +56,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
             raise ValueError(f"{name}={dim} not divisible by {nd} devices")
 
     dp = to_device(cp, dtype)
-    # the entrywise dense-mask mode is single-device for now (its masks
-    # would need row-sharding plus a transposed all-gather); drop it so
-    # the shard_map path runs the general kernels
-    dp = dataclasses.replace(
-        dp, spmd_axis=AXIS,
-        entry_gids=None, entry_rows=None, entry_cols=None,
-        ew_c2=None, ew_v1=None, ew_h=None, ew_C=None,
-        extra_wide_w=None, extra_gids=(),
-    )
+    dp = dataclasses.replace(dp, spmd_axis=AXIS)
 
     nnz = P(AXIS)
     row = P(AXIS, None)
@@ -97,6 +89,19 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
             DeviceLowRank(B=row, d=rep, gid=t.gid) for t in dp.lowrank
         ),
         C_dense=row if dp.C_dense is not None else None,
+        # entrywise dense-mask mode: masks and the dense C row-shard; the
+        # per-entry index triples and the extras weights row-localize
+        # inside the kernels (ops/entrymask.py _scatter_sym/_row_offset)
+        entry_gids=rep if dp.entry_gids is not None else None,
+        entry_rows=rep if dp.entry_rows is not None else None,
+        entry_cols=rep if dp.entry_cols is not None else None,
+        ew_c2=row if dp.ew_c2 is not None else None,
+        ew_v1=row if dp.ew_v1 is not None else None,
+        ew_h=row if dp.ew_h is not None else None,
+        ew_C=row if dp.ew_C is not None else None,
+        extra_wide_w=(P(None, AXIS) if dp.extra_wide_w is not None
+                      else None),
+        extra_gids=dp.extra_gids,
         wide_diag_w=P(None, AXIS),
         n=dp.n,
         m=dp.m,
@@ -114,6 +119,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,
         normb=dp.normb,
+        diag_identity=dp.diag_identity,
         spmd_axis=AXIS,
     )
 

@@ -116,6 +116,7 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         has_inequalities=dp.has_inequalities,
         normC=dp.normC,
         normb=dp.normb,
+        diag_identity=dp.diag_identity,
     )
 
 

@@ -48,6 +48,23 @@ def _y_and_s(dp: DeviceProblem, lam, sigma, vio_raw):
     return y_full, assemble_s_tri(dp, y_full), None
 
 
+def _ls_multiplier(dp: DeviceProblem, R):
+    """Closed-form least-squares multiplier on identity-diagonal families:
+    y_i = −⟨(CR)ᵢ, Rᵢ⟩ / ‖Rᵢ‖² = argmin_y ‖(C + diag(y))·R‖_F, clamped to
+    the dual-feasible region (λ ≤ λ_ub). See solver/major.py dual_bound."""
+    from ..ops.forward import _full
+    from ..ops.spmm import spmm_C
+
+    CR = spmm_C(dp, _full(dp, R))
+    for t in dp.lowrank:  # diag_identity ⇒ all low-rank terms belong to C
+        CR = CR + t.B @ (t.d[:, None] * (t.B.T @ R))
+    num = jnp.sum(CR * R, axis=1)
+    den = jnp.maximum(jnp.sum(R * R, axis=1),
+                      jnp.asarray(jnp.finfo(R.dtype).tiny, R.dtype))
+    y = -(num / den)
+    return jnp.maximum(y[: dp.m], -dp.lam_ub)
+
+
 def dual_obj(
     dp: DeviceProblem,
     lam,
@@ -58,6 +75,7 @@ def dual_obj(
     key,
     highprecision: bool = False,
     safeguard: bool = True,
+    R=None,
 ):
     """Returns (dual_value, min_eig, y_full) (reference: src/coreop.jl:376-415).
 
@@ -65,7 +83,20 @@ def dual_obj(
     its residual bound β_k·|s_k| before entering the dual value, so the
     reported dual is a certified-in-practice LOWER estimate and duality
     gaps cannot go negative from an unconverged eigensolve (round-1 fix;
-    the reference uses the raw Ritz value, src/coreop.jl:503-511)."""
+    the reference uses the raw Ritz value, src/coreop.jl:503-511).
+
+    When ``R`` is passed and the problem is identity-diagonal
+    (dp.diag_identity), the bound is evaluated at the closed-form
+    least-squares multiplier y = argmin ‖S(y)R‖_F instead of the AL
+    ascent iterate, mirroring the fused driver
+    (solver/major.py dual_bound)."""
+    if R is not None and getattr(dp, "diag_identity", False):
+        y_ls_head = _ls_multiplier(dp, R)
+        # re-express as (lam, sigma=0, v=0): y = -min(lam_ub, lam)
+        return dual_obj(dp, -y_ls_head, jnp.zeros_like(sigma),
+                        jnp.zeros_like(vio_raw), trace_bound, iter_count,
+                        key, highprecision=highprecision,
+                        safeguard=safeguard)
     y_full, s_tri, S_dense = _y_and_s(dp, lam, sigma, vio_raw)
 
     if highprecision:

@@ -53,9 +53,14 @@ def entry_step(dp: DeviceProblem, c: EntryCarry, Lam_ew, lam_ex, sigma,
     """One inner iteration (reference: src/sdplr.jl:196-246), all state in
     dense-mask form."""
     gscale = dp.normC if gtol_relative else 1.0
+    axis = dp.spmd_axis
 
-    direction = lbfgs_direction(c.lbfgs, c.G, k, compact=lbfgs_compact)
+    direction = lbfgs_direction(
+        c.lbfgs, c.G, k, spmd_axis=axis, compact=lbfgs_compact
+    )
     descent = jnp.vdot(direction, c.G)
+    if axis is not None:
+        descent = lax.psum(descent, axis)
     bad = jnp.logical_or(jnp.isnan(descent), descent >= 0.0)
     direction = jnp.where(bad, -c.G, direction)
 
@@ -68,7 +73,10 @@ def entry_step(dp: DeviceProblem, c: EntryCarry, Lam_ew, lam_ex, sigma,
     G_new = gradient_entry(
         dp, R_new, CR_new, ls.v_ew, ls.v_ex, Lam_ew, lam_ex, sigma
     )
-    gnorm = jnp.sqrt(jnp.sum(G_new * G_new)) / gscale
+    gsq = jnp.sum(G_new * G_new)
+    if axis is not None:
+        gsq = lax.psum(gsq, axis)
+    gnorm = jnp.sqrt(gsq) / gscale
 
     rel_delta = (c.L_val - ls.L_new) / jnp.maximum(
         1.0, jnp.maximum(jnp.abs(ls.L_new), jnp.abs(c.L_val))
@@ -76,7 +84,9 @@ def entry_step(dp: DeviceProblem, c: EntryCarry, Lam_ew, lam_ex, sigma,
     stagnated = rel_delta < stag_tol
 
     if k > 0:
-        pushed = lbfgs_push(c.lbfgs, ls.alpha, direction, c.G, G_new, k)
+        pushed = lbfgs_push(
+            c.lbfgs, ls.alpha, direction, c.G, G_new, k, spmd_axis=axis
+        )
         new_lbfgs = jax.tree_util.tree_map(
             lambda a, b: jnp.where(stagnated, a, b), c.lbfgs, pushed
         )

@@ -164,10 +164,10 @@ def major_chunk_impl(
             )
             return c._replace(ic=ic2)
 
-    def dual_bound(c: MajorCarry, sub):
-        """Lanczos λ_min(S) + dual value (reference: src/coreop.jl:376-415),
-        entirely on device via Sturm bisection for the tridiagonal eig."""
-        y_head = -jnp.minimum(dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m])
+    def _bound_for(c: MajorCarry, y_head, sub):
+        """Safeguarded Lanczos dual value for one multiplier estimate
+        (reference: src/coreop.jl:376-415), entirely on device via Sturm
+        bisection for the tridiagonal eig."""
         y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=dtype)])
         S_dense = None
         if getattr(dp, "ew_c2", None) is not None:
@@ -204,8 +204,50 @@ def major_chunk_impl(
         else:
             min_eig = tridiag_min_eig_device(alpha, beta, k_eff)
         yb = jnp.dot(y_full[:m], dp.b)
-        dual = -yb + trace_bound * jnp.minimum(min_eig, 0.0)
-        return dual, y_head
+        return -yb + trace_bound * jnp.minimum(min_eig, 0.0)
+
+    def dual_bound(c: MajorCarry, sub):
+        """Dual value at the AL multiplier estimate, plus — on
+        identity-diagonal families (dp.diag_identity: MaxCut/CutNorm) —
+        at the closed-form least-squares multiplier y_i = −⟨(CR)ᵢ,Rᵢ⟩/‖Rᵢ‖²
+        (argmin_y ‖S(y)R‖_F, i.e. the y making the current factor most
+        stationary for S). The LS estimate typically certifies a tighter
+        bound near convergence than the AL λ − σv ascent iterate, which
+        carries O(σ·v) noise; both are valid duals for ANY y (weak
+        duality), so taking the max is safe. No reference counterpart —
+        the reference only evaluates the AL multipliers
+        (src/coreop.jl:376-415)."""
+        y_al = -jnp.minimum(dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m])
+        if not getattr(dp, "diag_identity", False):
+            return _bound_for(c, y_al, sub), y_al
+        from ..ops.forward import _full
+        from ..ops.spmm import spmm_C
+
+        R = c.ic.R
+        if use_cx and c.ic.CX is not None:
+            CR = c.ic.CX  # sparse part of C @ R, carried by the inner loop
+        else:
+            CR = spmm_C(dp, _full(dp, R))
+        for t in dp.lowrank:  # diag_identity ⇒ all lowrank terms are C's
+            BtR = t.B.T @ R
+            if dp.spmd_axis is not None:
+                BtR = jax.lax.psum(BtR, dp.spmd_axis)
+            CR = CR + t.B @ (t.d[:, None] * BtR)
+        num = jnp.sum(CR * R, axis=1)
+        den = jnp.maximum(jnp.sum(R * R, axis=1), jnp.asarray(
+            jnp.finfo(dtype).tiny, dtype))
+        y_row = -num / den
+        if dp.spmd_axis is not None:
+            y_row = _full(dp, y_row[:, None])[:, 0]
+        # ONE Lanczos evaluated at the LS multiplier (clamped into the
+        # dual-feasible region): near convergence it dominates the AL
+        # ascent iterate, which carries O(σ·v) noise; a single eigensolve
+        # keeps the feasible-branch program the same size as the
+        # reference scheme (max_dual still maxes over boundaries, so an
+        # early weak LS bound costs nothing).
+        y_ls = jnp.maximum(y_row[:m], -dp.lam_ub)
+        dual = _bound_for(c, y_ls, sub)
+        return dual, y_ls
 
     def feasible_branch(c: MajorCarry, vio_norm):
         """reference: src/sdplr.jl:310-364."""

@@ -276,7 +276,11 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         q_need = lanczos_q(total_iter + chunk, n) * q_boost
         if config.eigval_highprecision:
             q_need = min(max(100, 2 * q_need), n)
-        q_need = min(q_need, max(n, 1))
+        # 1024-iteration ceiling: the device tridiagonal eigensolve at a
+        # 2048 bucket reproducibly faults the remote TPU worker, and a
+        # 1024-step unreorthogonalized f32 Lanczos is past its useful
+        # accuracy anyway
+        q_need = min(q_need, max(n, 1), 1024)
         q_max = bucket_q_max(q_need)
 
         mkw, mdata = mega_kwargs(r)
@@ -623,6 +627,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 max(total_iter, 1), sub,
                 highprecision=config.eigval_highprecision,
                 safeguard=config.dual_safeguard,
+                R=R,
             )
             dual_time += time.time() - t_dual
 

@@ -59,3 +59,80 @@ def test_lovasz_theta_obj_matches_dense_baseline():
     )
     rel = abs(res["obj"] - obj_ref) / max(1.0, abs(obj_ref))
     assert rel < 1e-2, (res["obj"], obj_ref)
+
+
+GSET = "/root/reference/exps/data/MaxCut/G1.mat"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(GSET), reason="Gset data not vendored")
+def test_maxcut_g1_independent_certificate():
+    """Benchmark-scale (n=800) independent certification of the G1 MaxCut
+    solve: feasibility-project the returned factor (exact diag = 1),
+    recompute its objective in scipy/f64, and certify a weak-duality
+    lower bound with scipy.sparse.linalg.eigsh on S = C + diag(λ) — no
+    solver-internal eigensolve involved. The sandwich
+    dual ≤ p* ≤ obj(X_feasible) must close to ≤1%
+    (the reference cross-checks CSDP at the same scale,
+    exps/exp_csdp/exp_csdp.jl:1-221)."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import eigsh
+
+    from sdplrplus_tpu.utils.io import load_mat_adjacency
+
+    A = load_mat_adjacency(GSET)
+    n = A.shape[0]
+    C, As, b = maxcut(A)
+    res = sdplr(
+        C, As, b, 10, ptol=1e-3, objtol=1e-2,
+        prior_trace_bound=float(n), printlevel=0, maxtime=600.0,
+    )
+    Csp = sp.csr_matrix((C.vals, (C.rows, C.cols)), shape=(n, n))
+
+    # exact-feasible primal: scale rows of R so diag(RRᵀ) = 1
+    R = np.asarray(res["R"], dtype=np.float64)
+    R = R / np.sqrt(np.sum(R * R, axis=1, keepdims=True))
+    obj_feas = float(np.sum((Csp @ R) * R))
+
+    # independent dual certificate at the least-squares multiplier:
+    # y = argmin ||(C + diag(y))R||_F = -<(CR)_i, R_i> (unit rows), then
+    # dual(y) = -Σ y_i b_i + tb·min(λ_min(C + diag(y)), 0) ≤ p*
+    y = -np.sum((Csp @ R) * R, axis=1)
+    S = Csp + sp.diags(y)
+    min_eig = float(eigsh(S, k=1, which="SA",
+                          return_eigenvectors=False, maxiter=10000)[0])
+    dual = -float(np.sum(y)) + n * min(min_eig, 0.0)
+
+    assert dual <= obj_feas + 1e-9
+    rel_gap = (obj_feas - dual) / abs(obj_feas)
+    assert rel_gap <= 1e-2, (obj_feas, dual, rel_gap)
+    # and the solver's reported objective agrees with the independent
+    # feasible value to <<1%
+    assert abs(res["obj"] - obj_feas) / abs(obj_feas) <= 1e-2
+
+
+@pytest.mark.slow
+def test_lovasz_theta_cycle_201_analytic():
+    """Lovász-θ at n=201 against the ANALYTIC value: for an odd cycle
+    θ(C_n) = n·cos(π/n) / (1 + cos(π/n)) (Lovász 1979, Thm. 5). A
+    closed-form anchor is the strongest possible cross-validation — no
+    second solver involved. ≤1% relative (BASELINE.md bar)."""
+    import scipy.sparse as sp
+
+    from sdplrplus_tpu.models import lovasz_theta
+
+    n = 201
+    i = np.arange(n)
+    rows = np.concatenate([i, (i + 1) % n])
+    cols = np.concatenate([(i + 1) % n, i])
+    A = sp.csr_matrix((np.ones(2 * n), (rows, cols)), shape=(n, n))
+    C, As, b = lovasz_theta(A)
+    res = sdplr(
+        C, As, np.asarray(b, float), 10,
+        ptol=1e-4, objtol=1e-2, prior_trace_bound=1.0,
+        printlevel=0, maxtime=600.0, maxmajoriter=500,
+    )
+    theta_true = n * np.cos(np.pi / n) / (1.0 + np.cos(np.pi / n))
+    theta_got = -res["obj"]
+    rel = abs(theta_got - theta_true) / theta_true
+    assert rel <= 1e-2, (theta_got, theta_true, rel)

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from sdplrplus_tpu import SDPProblem, compile_problem
-from sdplrplus_tpu.models import make_random_graph, maxcut, minimum_bisection
+from sdplrplus_tpu.models import lovasz_theta, make_random_graph, maxcut, minimum_bisection
 from sdplrplus_tpu.ops.device import to_device
 from sdplrplus_tpu.parallel.shardmap import AXIS, make_shardmap_inner, shardmap_problem
 from sdplrplus_tpu.parallel.spmd import make_mesh
@@ -124,5 +124,68 @@ def test_shardmap_major_matches_single_device(dense):
     )
     assert abs(float(out8.max_dual) - float(out1.max_dual)) < 1e-6 * max(
         1.0, abs(float(out1.max_dual))
+    )
+    assert abs(float(vn8) - float(vn1)) < 1e-9
+
+
+def test_shardmap_major_entry_mode_matches_single_device():
+    """Entry-mode (Lovász-θ) fused driver under an 8-device shard_map:
+    the dense (n, n) violation/dual masks row-shard, the per-entry
+    scatter/gathers localize through the shard row offset, and the
+    trajectory must match the single-device entry-mode run exactly
+    (round-2 gap: the shard_map path silently dropped entry mode)."""
+    from sdplrplus_tpu.parallel.shardmap import make_shardmap_major
+    from sdplrplus_tpu.solver.major import init_major_carry, major_chunk
+
+    A = make_random_graph(40, 0.3, seed=11)
+    C, As, b = lovasz_theta(A)
+    prob = SDPProblem(C, As, np.asarray(b, float), None)
+    cp = compile_problem(prob, entry=True, n_shards=8)
+    assert cp.ew_c2 is not None  # entry mode compiled in
+    r, k = 3, 4
+    rng = np.random.default_rng(2)
+    R0 = np.zeros((cp.n_pad, r))
+    R0[: prob.n] = rng.uniform(-1, 1, size=(prob.n, r))
+    lam0 = jnp.zeros(prob.m, jnp.float64)
+    key = jax.random.PRNGKey(0)
+    q_max = 64
+    scalars = dict(
+        budget=jnp.int32(100), major_budget=jnp.int32(40),
+        base_iter=jnp.int32(0), stag_tol=jnp.float64(-np.inf),
+        ptol_final=jnp.float64(1e-3), gtol_final=jnp.float64(0.0),
+        objtol=jnp.float64(1e-2), sigmafac=jnp.float64(2.0),
+        trace_bound=jnp.float64(1.0), rankupd_tol=jnp.int32(4),
+    )
+
+    dp1 = to_device(cp, jnp.float64)
+    assert dp1.ew_c2 is not None
+    carry0 = init_major_carry(
+        dp1, jnp.asarray(R0), lam0, 2.0, 2.0 ** -0.1, 0.5, key,
+        lbfgs_init(k, cp.n_pad, r, jnp.float64), 4,
+        gtol_relative=True, ptol_relative=True,
+    )
+    out1, vn1 = major_chunk(
+        dp1, carry0, *scalars.values(),
+        k=k, use_armijo=False, gtol_relative=True, ptol_relative=True,
+        objtol_relative=True, q_max=q_max, highprecision=False,
+    )
+    assert int(out1.ic.steps) > 0
+
+    mesh = make_mesh(8)
+    dp8, specs = shardmap_problem(cp, jnp.float64, mesh)
+    assert dp8.ew_c2 is not None  # no silent downgrade
+    run = make_shardmap_major(mesh, specs, k=k, use_armijo=False, q_max=q_max)
+    out8, vn8 = run(dp8, carry0, *scalars.values())
+
+    assert int(out8.ic.steps) == int(out1.ic.steps)
+    assert int(out8.majoriters) == int(out1.majoriters)
+    np.testing.assert_allclose(
+        np.asarray(out8.ic.R), np.asarray(out1.ic.R), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.ic.vio_raw), np.asarray(out1.ic.vio_raw), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8.lam), np.asarray(out1.lam), atol=1e-8
     )
     assert abs(float(vn8) - float(vn1)) < 1e-9
