@@ -154,7 +154,8 @@ def main():
         )
         res["callback_res"] = callback(A, res["R"])
         short_keys = [
-            "grad_norm", "primal_vio", "obj", "rel_duality_gap",
+            "grad_norm", "primal_vio", "obj", "obj_feasible",
+            "rel_duality_gap",
             "min_duality_gap", "totaltime", "dual_lanczos_time",
             "primaltime", "preprocess_time", "iter", "majoriter",
             "ptol", "objtol", "fprec", "callback_res", "rankupd_tol",
@@ -167,7 +168,7 @@ def main():
         with open(path, "w") as f:
             json.dump(short, f, indent=4, default=float)
         print(f"[{args.problem}/{graph}] obj={res['obj']:.6f} "
-              f"pinfeas={res['primal_vio']:.2e} gap={res['min_duality_gap']:.2e} "
+              f"pinfeas={res['primal_vio']:.2e} gap={res['rel_duality_gap']:.2e} "
               f"time={res['totaltime']:.2f}s iters={res['iter']} -> {path}")
         return res
 

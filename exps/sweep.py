@@ -104,7 +104,8 @@ def main():
                 wall = time.time() - t0
                 res["callback_res"] = callback(A, res["R"])
                 short_keys = [
-                    "grad_norm", "primal_vio", "obj", "rel_duality_gap",
+                    "grad_norm", "primal_vio", "obj", "obj_feasible",
+            "rel_duality_gap",
                     "min_duality_gap", "totaltime", "dual_lanczos_time",
                     "primaltime", "preprocess_time", "iter", "majoriter",
                     "ptol", "objtol", "fprec", "callback_res",

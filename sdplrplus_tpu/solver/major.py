@@ -117,11 +117,19 @@ def major_chunk_impl(
     )
 
     def cond(c: MajorCarry):
+        # the finite-state guard stops the device loop on a numerically
+        # failed state (NaN L or σ overflow) instead of spinning the
+        # infeasible branch to the major limit: a NaN violation never
+        # satisfies vio ≤ cur_ptol, so σ would double until inf
+        healthy = jnp.isfinite(c.ic.L_val) & jnp.isfinite(c.sigma) & (
+            c.sigma < jnp.asarray(2.0, dtype) ** 100
+        )
         return (
             jnp.logical_not(c.converged)
             & jnp.logical_not(c.rank_double)
             & (c.ic.steps < budget)
             & (c.majoriters < major_budget)
+            & healthy
         )
 
     if mega_spec is not None:

@@ -115,6 +115,40 @@ def _stagnation_tol(config: SolverConfig, dtype) -> float:
     return tol
 
 
+def _feasible_obj(prob, dp, R_np: np.ndarray):
+    """⟨C, X̂⟩ for the feasibility-PROJECTED factor on identity-diagonal
+    problems (diag(X) = b, b > 0): R̂ᵢ = Rᵢ·√bᵢ/‖Rᵢ‖ makes X̂ = R̂R̂ᵀ
+    exactly feasible, so dual ≤ p* ≤ ⟨C, X̂⟩ is a clean two-sided
+    certificate. The RAW objective of a slightly-infeasible iterate can
+    legitimately sit a few ×10⁻⁴ BELOW the (valid) dual bound — reporting
+    the projected value keeps rel_duality_gap ≥ 0 whenever the dual
+    certificate itself is valid. None when no closed-form projection
+    applies (non-diagonal constraint families)."""
+    if not getattr(dp, "diag_identity", False):
+        return None
+    b = np.asarray(dp.b, dtype=np.float64)
+    if b.shape[0] != R_np.shape[0] or np.any(b <= 0):
+        return None
+    norms_sq = np.sum(R_np * R_np, axis=1)
+    if np.any(norms_sq <= 0) or not np.all(np.isfinite(norms_sq)):
+        return None
+    Rhat = R_np * np.sqrt(b / norms_sq)[:, None]
+    total = 0.0
+    C = prob.C
+    from ..problem import SparseSym, SymLowRank
+
+    if isinstance(C, SparseSym):
+        total += float(
+            np.sum(C.vals * np.sum(Rhat[C.rows] * Rhat[C.cols], axis=1))
+        )
+    elif isinstance(C, SymLowRank):
+        BtR = C.B.T @ Rhat
+        total += float(np.sum(C.d * np.sum(BtR * BtR, axis=1)))
+    else:
+        return None
+    return total
+
+
 def _final_gap(obj: float, max_dual: float, have_dual) -> float:
     """Relative duality gap of the FINAL iterate against the best
     certified dual bound: (obj - d*)/min(|obj|, |d*|).
@@ -345,6 +379,38 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 # stall that triggered the counter is often a dual bound
                 # limited by eigensolve quality (safeguard margin), not by
                 # the primal rank. Bounded: q_boost doubles to ≤64.
+                if q_boost >= 64:
+                    if stag_tol > -np.inf:
+                        # last escape: the repeated-stagnation deadlock —
+                        # the inner loop breaks on fprec·eps-sized steps,
+                        # the boundary barely moves λ, and the next inner
+                        # loop re-stagnates instantly, freezing obj just
+                        # above the gap tolerance. Disabling the
+                        # stagnation break lets the loop grind through
+                        # the slow-progress regime (measured: an f64
+                        # n=20k MaxCut frozen at gap 1.02e-2 converges to
+                        # 9.95e-3 in ~4k iterations once disabled); time/
+                        # iteration limits still bound the run.
+                        stag_tol = -np.inf
+                        if config.printlevel > 0:
+                            print("gap stalled with all budgets maxed; "
+                                  "disabling the stagnation break for a "
+                                  "final polish phase.")
+                        carry = carry._replace(
+                            rank_double=jnp.asarray(False),
+                            rankupd_cnt=jnp.asarray(
+                                config.rankupd_tol, jnp.int32),
+                            ic=carry.ic._replace(
+                                stagnated=jnp.zeros((), bool)),
+                        )
+                        continue
+                    # every escape hatch exhausted (rank at cap, Lanczos
+                    # at its ceiling, stagnation disabled) and the gap
+                    # still stalls: stop instead of grinding to the limit
+                    print("Warning: duality gap stalled with rank at the "
+                          "Barvinok-Pataki cap and the Lanczos budget "
+                          "exhausted. Stop optimizing.")
+                    break
                 q_boost = min(q_boost * 2, 64)
                 if config.printlevel > 0:
                     print(f"rank at Barvinok-Pataki cap {r}; "
@@ -431,8 +497,11 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
 
     obj = float(vio_raw[m])
     min_gap = float(carry.min_gap)
-    final_gap = _final_gap(obj, float(carry.max_dual), feas)
     R_np = np.asarray(R[:n], dtype=np.float64)
+    obj_feas = _feasible_obj(prob, dp, R_np)
+    final_gap = _final_gap(
+        obj if obj_feas is None else obj_feas, float(carry.max_dual), feas
+    )
     return {
         "R": R_np,
         "Rt": R_np.T,
@@ -447,6 +516,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "max_dual_value": float(carry.max_dual),
         "min_duality_gap": min_gap,
         "rel_duality_gap": final_gap,
+        "obj_feasible": obj_feas,
         "duality_gap": float(carry.last_gap),
         "totaltime": totaltime,
         "dual_time": dual_time,
@@ -735,9 +805,12 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     dimacs_time = time.time() - t_dimacs
 
     obj = float(vio_raw[m])
-    rel_gap = _final_gap(obj, max_dual_value, max_dual_value > -1e19)
-
     R_np = np.asarray(R[:n], dtype=np.float64)
+    obj_feas = _feasible_obj(prob, dp, R_np)
+    rel_gap = _final_gap(
+        obj if obj_feas is None else obj_feas, max_dual_value,
+        max_dual_value > -1e19,
+    )
     # one stable result schema (fixes the reference's exps/solver drift,
     # SURVEY §3.4): both the solver-native and the exps-harness key names.
     return {
@@ -754,6 +827,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "max_dual_value": max_dual_value,
         "min_duality_gap": min_duality_gap,
         "rel_duality_gap": rel_gap,
+        "obj_feasible": obj_feas,
         "duality_gap": duality_gap,
         "totaltime": totaltime,
         "dual_time": dual_time,
