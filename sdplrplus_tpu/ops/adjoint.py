@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .device import DeviceProblem
-from .forward import _full, _psum
+from .forward import _full, _hp_mm, _psum
 
 
 _WIDE = 8  # lane width for widened 1-D lookup tables
@@ -86,8 +86,8 @@ def apply_S(
         out = y_full[dp.m] * (dp.C_dense @ _full(dp, X))
         out = out + diag_weights(dp, y_full)[:, None] * X
         for t in dp.lowrank:
-            BtX = _psum(t.B.T @ X, dp)
-            out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
+            BtX = _psum(_hp_mm(t.B.T, X), dp)
+            out = out + y_full[t.gid] * _hp_mm(t.B, t.d[:, None] * BtX)
         return out
     from .spmm import spmm_contract, spmm_gather, spmm_tier2, tier2_offset
 
@@ -112,8 +112,8 @@ def apply_S(
             out = spmm_tier2(out, X_full, dp.ell2_rows, dp.ell2_cols, s2,
                              tier2_offset(dp))
     for t in dp.lowrank:
-        BtX = _psum(t.B.T @ X, dp)                # (s, r), MXU (+psum)
-        out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
+        BtX = _psum(_hp_mm(t.B.T, X), dp)                # (s, r), MXU (+psum)
+        out = out + y_full[t.gid] * _hp_mm(t.B, t.d[:, None] * BtX)
     return out
 
 
@@ -124,8 +124,8 @@ def apply_S_cx(dp: DeviceProblem, y_full: jax.Array, X: jax.Array,
     recurrence CX += α·CD supplies CX, see solver/inner.py)."""
     out = y_full[dp.m] * CX + diag_weights(dp, y_full)[:, None] * X
     for t in dp.lowrank:
-        BtX = _psum(t.B.T @ X, dp)
-        out = out + y_full[t.gid] * (t.B @ (t.d[:, None] * BtX))
+        BtX = _psum(_hp_mm(t.B.T, X), dp)
+        out = out + y_full[t.gid] * _hp_mm(t.B, t.d[:, None] * BtX)
     return out
 
 

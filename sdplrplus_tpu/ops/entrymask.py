@@ -42,6 +42,12 @@ import jax.numpy as jnp
 from .device import DeviceProblem
 
 
+def _hp(a, b):
+    """Full-f32 matmul for tiny low-rank contractions (see
+    ops/forward._hp_mm)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def entry_enabled(dp: DeviceProblem) -> bool:
     return dp.ew_c2 is not None
 
@@ -160,7 +166,7 @@ def apply_C_entry(dp: DeviceProblem, X: jax.Array) -> jax.Array:
     out = dp.ew_C @ X_full if dp.ew_C is not None else jnp.zeros_like(X)
     for t in dp.lowrank:
         if t.gid == dp.m:
-            out = out + t.B @ (t.d[:, None] * _psum(t.B.T @ X, dp))
+            out = out + _hp(t.B, t.d[:, None] * _psum(_hp(t.B.T, X), dp))
     return out
 
 
@@ -178,7 +184,7 @@ def gradient_entry(dp: DeviceProblem, R, CR, v_ew, v_ex, Lam_ew, lam_ex,
     if nw:
         G = G + (y_ex[:nw] @ dp.extra_wide_w)[:, None] * R
     for idx, t in _extra_lowrank(dp):
-        G = G + y_ex[idx] * (t.B @ (t.d[:, None] * (t.B.T @ R)))
+        G = G + y_ex[idx] * _hp(t.B, t.d[:, None] * _psum(_hp(t.B.T, R), dp))
     return 2.0 * G
 
 
@@ -221,8 +227,8 @@ def linesearch_entry(dp: DeviceProblem, R, D, v_ew, v_ex, obj,
         q2_ex = q2_ex.at[:nw].set(_psum(dp.extra_wide_w @ dd, dp))
     # ... and low-rank constraints tall-skinny contractions
     for idx, t in _extra_lowrank(dp):
-        rb = _psum(R.T @ t.B, dp)
-        db = _psum(D.T @ t.B, dp)
+        rb = _psum(_hp(R.T, t.B), dp)
+        db = _psum(_hp(D.T, t.B), dp)
         q1_ex = q1_ex.at[idx].set(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
         q2_ex = q2_ex.at[idx].set(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
 

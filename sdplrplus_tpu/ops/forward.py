@@ -33,6 +33,15 @@ from .device import DeviceProblem
 _WIDE = 8  # lane width for widened 1-D lookup tables
 
 
+
+def _hp_mm(a, b):
+    """Full-f32 matmul for the tiny low-rank contractions: the default
+    TPU f32 dot runs bf16 MXU passes, whose absolute noise (~n·2⁻⁸)
+    destroys pure-cancellation constraint values like MinBisection's
+    1ᵀX1 = 0 near feasibility (G5 diverged to NaN through this). The
+    (n, s) shapes make HIGHEST precision free."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
 def _full(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     """Under shard_map, assemble the full factor from row shards (the
     column-support all-gather of SURVEY §5); identity otherwise."""
@@ -127,7 +136,7 @@ def A_uu_cx(dp: DeviceProblem, U: jax.Array, CX: jax.Array) -> jax.Array:
     obj = _psum(jnp.vdot(U, CX), dp)
     vals = _fast_vals(dp, jnp.sum(U * U, axis=1), obj)
     for t in dp.lowrank:
-        UtB = _psum(U.T @ t.B, dp)
+        UtB = _psum(_hp_mm(U.T, t.B), dp)
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * UtB, axis=0)))
     return vals
 
@@ -148,8 +157,8 @@ def A_linesearch_cd(dp: DeviceProblem, R: jax.Array, D: jax.Array,
     A_RD = _fast_vals(dp, 2.0 * jnp.sum(R * D, axis=1), obj_RD)
     A_DD = _fast_vals(dp, jnp.sum(D * D, axis=1), obj_DD)
     for t in dp.lowrank:
-        rb = _psum(R.T @ t.B, dp)
-        db = _psum(D.T @ t.B, dp)
+        rb = _psum(_hp_mm(R.T, t.B), dp)
+        db = _psum(_hp_mm(D.T, t.B), dp)
         A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
         A_DD = A_DD.at[t.gid].add(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
     return A_RD, A_DD
@@ -169,7 +178,7 @@ def A_uu(dp: DeviceProblem, U: jax.Array) -> jax.Array:
     else:
         vals = _reduce(dp, uv_values_uu(dp, U))
     for t in dp.lowrank:
-        UtB = _psum(U.T @ t.B, dp)  # (r, s), MXU (+psum over row shards)
+        UtB = _psum(_hp_mm(U.T, t.B), dp)  # (r, s), MXU (+psum over row shards)
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * UtB, axis=0)))
     return vals
 
@@ -188,8 +197,8 @@ def A_uv(dp: DeviceProblem, U: jax.Array, V: jax.Array) -> jax.Array:
     else:
         vals = _reduce(dp, uv_values_uv(dp, U, V))
     for t in dp.lowrank:
-        UtB = _psum(U.T @ t.B, dp)
-        VtB = _psum(V.T @ t.B, dp)
+        UtB = _psum(_hp_mm(U.T, t.B), dp)
+        VtB = _psum(_hp_mm(V.T, t.B), dp)
         vals = vals.at[t.gid].add(jnp.sum(t.d * jnp.sum(UtB * VtB, axis=0)))
     return vals
 
@@ -217,8 +226,8 @@ def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
             [_dense_cons(dp, jnp.sum(D * D, axis=1)), obj_DD[None]]
         )
         for t in dp.lowrank:
-            rb = _psum(R.T @ t.B, dp)
-            db = _psum(D.T @ t.B, dp)
+            rb = _psum(_hp_mm(R.T, t.B), dp)
+            db = _psum(_hp_mm(D.T, t.B), dp)
             A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))
             A_DD = A_DD.at[t.gid].add(jnp.sum(t.d * jnp.sum(db * db, axis=0)))
         return A_RD, A_DD
@@ -234,8 +243,8 @@ def A_linesearch(dp: DeviceProblem, R: jax.Array, D: jax.Array):
     A_RD = _reduce(dp, uv_RD)
     A_DD = _reduce(dp, uv_DD)
     if dp.lowrank:
-        RtB = {id(t): _psum(R.T @ t.B, dp) for t in dp.lowrank}
-        DtB = {id(t): _psum(D.T @ t.B, dp) for t in dp.lowrank}
+        RtB = {id(t): _psum(_hp_mm(R.T, t.B), dp) for t in dp.lowrank}
+        DtB = {id(t): _psum(_hp_mm(D.T, t.B), dp) for t in dp.lowrank}
         for t in dp.lowrank:
             rb, db = RtB[id(t)], DtB[id(t)]
             A_RD = A_RD.at[t.gid].add(2.0 * jnp.sum(t.d * jnp.sum(rb * db, axis=0)))

@@ -298,14 +298,22 @@ def _make_kernel(spec: MegaSpec):
                     y_t = -(lam_lr_cons[lr_cons.index(t)]
                             - sigma * vio_lr[lr_cons.index(t)])
                 G = G + 2.0 * y_t * jnp.dot(
-                    Q[t], lr_Bdt[t][:], preferred_element_type=dtype
+                    Q[t], lr_Bdt[t][:], preferred_element_type=dtype,
+                    precision=lax.Precision.HIGHEST,
                 )
             return G
 
         # ---- initial state from R (one-time; the loop maintains it) ----
         Rt0 = Rt_ref[:]
         CRt0 = jnp.dot(Rt0, C_ref[:], preferred_element_type=dtype)
-        Q0 = tuple(jnp.dot(Rt0, lr_B[t][:], preferred_element_type=dtype)
+        # low-rank contractions run at HIGHEST precision: the default
+        # bf16-pass MXU dot loses ~8 mantissa bits, and coupling terms
+        # like MinBisection's 1ᵀX1 = 0 are pure cancellations near
+        # feasibility (absolute bf16 noise ~n·2⁻⁸ vs a true value → 0;
+        # G5 f32 diverged to NaN through exactly this). The (n, s) dots
+        # are tiny next to the n×n matmul, so the 5.6× slowdown is free.
+        Q0 = tuple(jnp.dot(Rt0, lr_B[t][:], preferred_element_type=dtype,
+                           precision=lax.Precision.HIGHEST)
                    for t in range(n_lr))               # (rp, s_t)
         obj0, vio0, vio_lr0 = state_of(Rt0, CRt0, Q0)
         L0 = al_of(obj0, vio0, vio_lr0)
@@ -360,7 +368,8 @@ def _make_kernel(spec: MegaSpec):
                          precision=lax.Precision.HIGHEST)
 
             Qd = tuple(
-                jnp.dot(direction, lr_B[t][:], preferred_element_type=dtype)
+                jnp.dot(direction, lr_B[t][:], preferred_element_type=dtype,
+                        precision=lax.Precision.HIGHEST)
                 for t in range(n_lr)
             )
             p1_lr = [2.0 * lr_tr(Q[t], Qd[t], t) for t in range(n_lr)]

@@ -57,7 +57,9 @@ def _ls_multiplier(dp: DeviceProblem, R):
 
     CR = spmm_C(dp, _full(dp, R))
     for t in dp.lowrank:  # diag_identity ⇒ all low-rank terms belong to C
-        CR = CR + t.B @ (t.d[:, None] * (t.B.T @ R))
+        hp = lambda a, b: jnp.matmul(
+            a, b, precision=jax.lax.Precision.HIGHEST)
+        CR = CR + hp(t.B, t.d[:, None] * hp(t.B.T, R))
     num = jnp.sum(CR * R, axis=1)
     den = jnp.maximum(jnp.sum(R * R, axis=1),
                       jnp.asarray(jnp.finfo(R.dtype).tiny, R.dtype))

@@ -237,10 +237,13 @@ def major_chunk_impl(
         else:
             CR = spmm_C(dp, _full(dp, R))
         for t in dp.lowrank:  # diag_identity ⇒ all lowrank terms are C's
-            BtR = t.B.T @ R
+            BtR = jnp.matmul(
+                t.B.T, R, precision=jax.lax.Precision.HIGHEST)
             if dp.spmd_axis is not None:
                 BtR = jax.lax.psum(BtR, dp.spmd_axis)
-            CR = CR + t.B @ (t.d[:, None] * BtR)
+            CR = CR + jnp.matmul(
+                t.B, t.d[:, None] * BtR,
+                precision=jax.lax.Precision.HIGHEST)
         num = jnp.sum(CR * R, axis=1)
         den = jnp.maximum(jnp.sum(R * R, axis=1), jnp.asarray(
             jnp.finfo(dtype).tiny, dtype))

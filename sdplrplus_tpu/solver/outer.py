@@ -372,6 +372,27 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         if bool(carry.converged):
             break
         if bool(carry.rank_double):
+            if stag_tol > -np.inf:
+                # first stall escape: BEFORE paying for a rank double
+                # (each iteration at rank 2r costs ~2x), disable the
+                # stagnation break and let the current rank grind through
+                # the slow-progress regime — the measured common stall
+                # mode is the repeated-stagnation deadlock (fprec-sized
+                # steps break the inner loop, λ barely moves, the next
+                # loop re-stagnates; an f64 n=20k MaxCut frozen at gap
+                # 1.02e-2 converges to 9.95e-3 at rank TEN once
+                # disabled). Genuinely rank-limited problems fire the
+                # counter again and proceed to the reference's doubling.
+                stag_tol = -np.inf
+                if config.printlevel > 0:
+                    print("gap stalled; disabling the stagnation break "
+                          "(polish) before rank doubling.")
+                carry = carry._replace(
+                    rank_double=jnp.asarray(False),
+                    rankupd_cnt=jnp.asarray(config.rankupd_tol, jnp.int32),
+                    ic=carry.ic._replace(stagnated=jnp.zeros((), bool)),
+                )
+                continue
             r_new = next_rank(r, n, m)
             if r_new == r:
                 # already at the Barvinok–Pataki cap: a "rank double" is a
@@ -380,32 +401,8 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 # limited by eigensolve quality (safeguard margin), not by
                 # the primal rank. Bounded: q_boost doubles to ≤64.
                 if q_boost >= 64:
-                    if stag_tol > -np.inf:
-                        # last escape: the repeated-stagnation deadlock —
-                        # the inner loop breaks on fprec·eps-sized steps,
-                        # the boundary barely moves λ, and the next inner
-                        # loop re-stagnates instantly, freezing obj just
-                        # above the gap tolerance. Disabling the
-                        # stagnation break lets the loop grind through
-                        # the slow-progress regime (measured: an f64
-                        # n=20k MaxCut frozen at gap 1.02e-2 converges to
-                        # 9.95e-3 in ~4k iterations once disabled); time/
-                        # iteration limits still bound the run.
-                        stag_tol = -np.inf
-                        if config.printlevel > 0:
-                            print("gap stalled with all budgets maxed; "
-                                  "disabling the stagnation break for a "
-                                  "final polish phase.")
-                        carry = carry._replace(
-                            rank_double=jnp.asarray(False),
-                            rankupd_cnt=jnp.asarray(
-                                config.rankupd_tol, jnp.int32),
-                            ic=carry.ic._replace(
-                                stagnated=jnp.zeros((), bool)),
-                        )
-                        continue
-                    # every escape hatch exhausted (rank at cap, Lanczos
-                    # at its ceiling, stagnation disabled) and the gap
+                    # every escape hatch exhausted (stagnation polish,
+                    # rank at cap, Lanczos at its ceiling) and the gap
                     # still stalls: stop instead of grinding to the limit
                     print("Warning: duality gap stalled with rank at the "
                           "Barvinok-Pataki cap and the Lanczos budget "
