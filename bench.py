@@ -12,8 +12,11 @@ Two measurements:
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no in-repo numbers (BASELINE.json "published":
-{}); vs_baseline is the speedup over the earliest recorded BENCH_r*.json
-round, or 1.0 when none exists yet.
+{}); vs_baseline divides the device AL iterations/s by the MEASURED CPU
+reference baseline (exps/ref_baseline.py — a faithful single-thread
+numpy/scipy port of the reference hot loop, run under the reference's
+own single-thread protocol; exps/output/baseline_cpu/). 1.0 only when
+no baseline measurement exists on disk.
 """
 
 from __future__ import annotations

@@ -289,6 +289,9 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     base_total = 0   # inner steps completed before the current carry lifetime
     base_major = 0   # major boundaries completed before the current lifetime
     q_boost = 1      # Lanczos budget escalation once r hits the BP cap
+    tried_polish = False       # one bounded stagnation-off attempt
+    saved_stag_tol = stag_tol  # restored if the polish doesn't converge
+    final_polish = False       # permanent stagnation-off at the ladder end
     timed_out = False
     vio_norm = float("inf")
 
@@ -372,27 +375,39 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         if bool(carry.converged):
             break
         if bool(carry.rank_double):
-            if stag_tol > -np.inf:
-                # first stall escape: BEFORE paying for a rank double
-                # (each iteration at rank 2r costs ~2x), disable the
-                # stagnation break and let the current rank grind through
-                # the slow-progress regime — the measured common stall
-                # mode is the repeated-stagnation deadlock (fprec-sized
-                # steps break the inner loop, λ barely moves, the next
-                # loop re-stagnates; an f64 n=20k MaxCut frozen at gap
-                # 1.02e-2 converges to 9.95e-3 at rank TEN once
-                # disabled). Genuinely rank-limited problems fire the
-                # counter again and proceed to the reference's doubling.
+            # two distinct stall regimes, discriminated by how the inner
+            # loops have been exiting in this carry lifetime:
+            #   * stagnation deadlock — loops break after a handful of
+            #     fprec-sized steps, λ barely moves, the next loop
+            #     re-stagnates; rank is NOT the problem (an f64 n=20k
+            #     MaxCut frozen at gap 1.02e-2 converges to 9.95e-3 at
+            #     rank TEN once the break is disabled). One bounded
+            #     polish attempt (stagnation off until the next stall)
+            #     beats paying 2× per iteration at the doubled rank.
+            #   * genuinely rank-limited (Lovász-θ) — loops run hundreds
+            #     of steps per major; polish just burns the budget, so
+            #     go straight to the reference's rank doubling.
+            steps_per_major = int(carry.ic.steps) / max(
+                int(carry.majoriters), 1)
+            if stag_tol > -np.inf and not tried_polish and (
+                    steps_per_major < 32):
+                tried_polish = True
+                saved_stag_tol = stag_tol
                 stag_tol = -np.inf
                 if config.printlevel > 0:
-                    print("gap stalled; disabling the stagnation break "
-                          "(polish) before rank doubling.")
+                    print("stagnation-deadlock stall; disabling the "
+                          "stagnation break (bounded polish) before "
+                          "rank doubling.")
                 carry = carry._replace(
                     rank_double=jnp.asarray(False),
                     rankupd_cnt=jnp.asarray(config.rankupd_tol, jnp.int32),
                     ic=carry.ic._replace(stagnated=jnp.zeros((), bool)),
                 )
                 continue
+            if tried_polish and stag_tol == -np.inf:
+                # polish attempt did not close the gap: restore the
+                # stagnation break and fall through to rank doubling
+                stag_tol = saved_stag_tol
             r_new = next_rank(r, n, m)
             if r_new == r:
                 # already at the Barvinok–Pataki cap: a "rank double" is a
@@ -401,6 +416,22 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 # limited by eigensolve quality (safeguard margin), not by
                 # the primal rank. Bounded: q_boost doubles to ≤64.
                 if q_boost >= 64:
+                    if not final_polish:
+                        # last resort: permanent stagnation-off grind at
+                        # the cap rank until time/iteration limits
+                        final_polish = True
+                        stag_tol = -np.inf
+                        if config.printlevel > 0:
+                            print("all budgets maxed; final polish phase "
+                                  "(stagnation break off).")
+                        carry = carry._replace(
+                            rank_double=jnp.asarray(False),
+                            rankupd_cnt=jnp.asarray(
+                                config.rankupd_tol, jnp.int32),
+                            ic=carry.ic._replace(
+                                stagnated=jnp.zeros((), bool)),
+                        )
+                        continue
                     # every escape hatch exhausted (stagnation polish,
                     # rank at cap, Lanczos at its ceiling) and the gap
                     # still stalls: stop instead of grinding to the limit
