@@ -17,8 +17,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+from common import setup_jax_cache, short_result
 
 
 def parse_args():
@@ -53,6 +56,10 @@ def parse_args():
                         "downloads, unavailable offline)")
     p.add_argument("--deg", type=int, default=16,
                    help="average degree of the synthetic graph")
+    p.add_argument("--devices", type=int, default=1,
+                   help="run the fused driver under shard_map over this "
+                        "many devices (1-D mesh; R rows + ELL rows "
+                        "sharded, psum'd reductions — SURVEY §5)")
     return p.parse_args()
 
 
@@ -73,6 +80,7 @@ def synthetic_graph(n: int, deg: int, seed: int = 1):
 
 def main():
     args = parse_args()
+    setup_jax_cache()
 
     from sdplrplus_tpu import sdplr
     from sdplrplus_tpu.models import (
@@ -151,17 +159,13 @@ def main():
             objtol=objtol,
             maxtime=args.maxtime,
             dtype=args.dtype,
+            devices=args.devices,
         )
         res["callback_res"] = callback(A, res["R"])
-        short_keys = [
-            "grad_norm", "primal_vio", "obj", "obj_feasible",
-            "rel_duality_gap",
-            "min_duality_gap", "totaltime", "dual_lanczos_time",
-            "primaltime", "preprocess_time", "iter", "majoriter",
-            "ptol", "objtol", "fprec", "callback_res", "rankupd_tol",
-            "r", "dtype",
-        ]
-        short = {k: res[k] for k in short_keys}
+        short = short_result(
+            res, problem=args.problem, graph=graph, n=n,
+            seed=args.seed, maxtime=args.maxtime,
+        )
         outdir = os.path.join(args.output, args.problem, graph)
         os.makedirs(outdir, exist_ok=True)
         path = os.path.join(outdir, filename + ".json")

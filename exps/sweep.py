@@ -22,6 +22,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from common import setup_jax_cache, short_result
 
 
 def main():
@@ -43,6 +46,7 @@ def main():
     p.add_argument("--output", type=str,
                    default=os.path.join(os.path.dirname(__file__), "output"))
     args = p.parse_args()
+    setup_jax_cache()
 
     from sdplrplus_tpu import sdplr
     from sdplrplus_tpu.models import (
@@ -103,15 +107,10 @@ def main():
                             **common)
                 wall = time.time() - t0
                 res["callback_res"] = callback(A, res["R"])
-                short_keys = [
-                    "grad_norm", "primal_vio", "obj", "obj_feasible",
-            "rel_duality_gap",
-                    "min_duality_gap", "totaltime", "dual_lanczos_time",
-                    "primaltime", "preprocess_time", "iter", "majoriter",
-                    "ptol", "objtol", "fprec", "callback_res",
-                    "rankupd_tol", "r", "dtype",
-                ]
-                short = {k: res[k] for k in short_keys}
+                short = short_result(
+                    res, problem=prob_name, graph=graph, n=n,
+                    seed=args.seed, maxtime=args.maxtime,
+                )
                 outdir = os.path.join(args.output, prob_name, graph)
                 os.makedirs(outdir, exist_ok=True)
                 fp = os.path.join(
@@ -127,6 +126,7 @@ def main():
                       f"pinfeas={res['primal_vio']:.2e} "
                       f"gap={res['rel_duality_gap']:.2e} wall={wall:.2f}s "
                       f"iters={res['iter']} majors={res['majoriter']} "
+                      f"{'TIMED-OUT ' if res.get('timed_out') else ''}"
                       f"{'OK' if ok else 'MISSED-TOL'}",
                       flush=True)
                 if not ok:

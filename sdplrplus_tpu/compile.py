@@ -176,6 +176,26 @@ class CompiledProblem:
     # shaped (0, n_pad) when there are no wide constraints.
     wide_diag_w: np.ndarray | None = None  # (n_wide, n_pad)
 
+    # generalized least-squares dual multiplier structure (all-diagonal
+    # constraint families; solver/dualbound.ls_dual_head). Per row i, the
+    # free diagonal slack z_i of S(y) = C + y_w·diag(cw) + Σ y_lr·BdBᵀ +
+    # diag(z) is realized through the best "channel" constraint on each
+    # side (z>0 / z<0): slope = −b_gid/v is the dual-linear payoff per
+    # unit z, gid/v identify the constraint and its diagonal weight.
+    # Rows lacking a side carry gid=m (z clipped to the realizable side —
+    # still a valid dual, just weaker). No reference counterpart (the
+    # reference evaluates only the AL ascent iterate,
+    # src/coreop.jl:376-415).
+    ls_eligible: bool = False
+    ls_wide_gid: int = -1                   # ⟨diag(cw),X⟩=b wide eq constraint
+    ls_cw: np.ndarray | None = None         # (n_pad,) wide diag weights
+    ls_slope_pos: np.ndarray | None = None  # (n_pad,)
+    ls_slope_neg: np.ndarray | None = None  # (n_pad,)
+    ls_gid_pos: np.ndarray | None = None    # (n_pad,) int (m = no channel)
+    ls_gid_neg: np.ndarray | None = None    # (n_pad,)
+    ls_v_pos: np.ndarray | None = None      # (n_pad,)
+    ls_v_neg: np.ndarray | None = None      # (n_pad,)
+
 
 def _triu_of(A: SparseSym) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     keep = A.rows <= A.cols
@@ -268,6 +288,86 @@ def _build_tier2(t_rows, t_cols, t_tri, t_rank, W2: int, P_pad: int,
     ell2_tri[u_idx[inv], slot] = t_tri
     return (ell2_rows.astype(INDEX_DTYPE), ell2_cols.astype(INDEX_DTYPE),
             ell2_tri, R2_shard)
+
+
+def _compile_ls_structure(n, m, n_pad, b, ct, all_cons_diagonal, wide_gids,
+                          wide_mask_ent, ent_gid, ent_ti, ent_v1, gid_counts,
+                          lowrank_con_gids):
+    """Host side of the generalized LS dual multiplier (see
+    solver/dualbound.ls_dual_head): per-row channel selection for
+    realizing the free diagonal slack of S(y), plus the wide-constraint
+    identity. Returns a dict of CompiledProblem ls_* fields."""
+    none = dict(ls_eligible=False)
+    if not all_cons_diagonal or m == 0:
+        return none
+    # at most one wide diagonal constraint, and it must be an equality
+    if len(wide_gids) > 1 or any(ct[g] for g in wide_gids):
+        return none
+    # low-rank constraint terms must be equalities (their multiplier is a
+    # free least-squares variable)
+    if any(ct[g] for g in lowrank_con_gids):
+        return none
+    # every narrow constraint: exactly one (diagonal) entry
+    narrow_gid_mask = np.ones(m, dtype=bool)
+    narrow_gid_mask[list(wide_gids)] = False
+    narrow_gid_mask[lowrank_con_gids] = False
+    if np.any(gid_counts[narrow_gid_mask] != 1):
+        return none
+
+    slope_pos = np.zeros(n_pad)
+    slope_neg = np.zeros(n_pad)
+    gid_pos = np.full(n_pad, m, dtype=np.int64)
+    gid_neg = np.full(n_pad, m, dtype=np.int64)
+    v_pos = np.ones(n_pad)
+    v_neg = np.ones(n_pad)
+    have_pos = np.zeros(n_pad, dtype=bool)
+    have_neg = np.zeros(n_pad, dtype=bool)
+
+    sel = ~wide_mask_ent
+    for g, t, v in zip(ent_gid[sel], ent_ti[sel], ent_v1[sel]):
+        g, t = int(g), int(t)
+        if not narrow_gid_mask[g] or v == 0.0:
+            continue
+        slope = -float(b[g]) / float(v)
+        # equality: y free -> both sides; inequality (<=): y >= 0 -> only
+        # the side with sign(v)
+        sides = ("+", "-") if not ct[g] else (("+",) if v > 0 else ("-",))
+        for s in sides:
+            if s == "+":
+                if not have_pos[t] or slope > slope_pos[t]:
+                    slope_pos[t], gid_pos[t], v_pos[t] = slope, g, v
+                    have_pos[t] = True
+            else:
+                if not have_neg[t] or slope < slope_neg[t]:
+                    slope_neg[t], gid_neg[t], v_neg[t] = slope, g, v
+                    have_neg[t] = True
+
+    # concavity of the per-row cost (needed by the wide-split PWL max):
+    # left slope >= right slope wherever both sides exist
+    both = have_pos & have_neg
+    if np.any(slope_neg[both] < slope_pos[both] - 1e-12):
+        return none
+
+    cw = np.zeros(n_pad)
+    wide_gid = -1
+    if wide_gids:
+        wide_gid = int(wide_gids[0])
+        selw = ent_gid == wide_gid
+        cw[ent_ti[selw]] = ent_v1[selw]
+        if np.any(cw[:n] < 0):
+            return none  # PWL breakpoints assume positive wide weights
+
+    return dict(
+        ls_eligible=True,
+        ls_wide_gid=wide_gid,
+        ls_cw=cw,
+        ls_slope_pos=slope_pos,
+        ls_slope_neg=slope_neg,
+        ls_gid_pos=gid_pos,
+        ls_gid_neg=gid_neg,
+        ls_v_pos=v_pos,
+        ls_v_neg=v_neg,
+    )
 
 
 def compile_problem(
@@ -480,6 +580,15 @@ def compile_problem(
         Bp[:n] = A.B
         lr_terms.append(LowRankTerm(gid=gid, B=Bp, d=A.d.copy()))
 
+    # ---- generalized LS-dual-multiplier structure ----------------------------
+    # (see the CompiledProblem field docs and solver/dualbound.ls_dual_head)
+    ct_arr = np.asarray(prob.constraint_types, dtype=bool)
+    ls = _compile_ls_structure(
+        n, m, n_pad, prob.b, ct_arr, all_cons_diagonal, wide_gids,
+        wide_mask_ent, ent_gid, ent_ti, ent_v1, gid_counts,
+        [gid for gid, _ in lowrank_ops if gid != m],
+    )
+
     # ---- duals' bounds from constraint types (src/structs.jl:230,247) -------
     ct = prob.constraint_types
     lam_ub = np.where(ct, 0.0, np.inf)
@@ -643,4 +752,5 @@ def compile_problem(
         extra_gids=extra_gids,
         extra_wide_w=extra_wide_w,
         wide_diag_w=wide_diag_w,
+        **ls,
     )

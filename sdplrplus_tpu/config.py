@@ -106,6 +106,12 @@ class SolverConfig:
     # tracing/profiling (SURVEY §5): when set, the solve runs under
     # jax.profiler.trace writing a TensorBoard-readable trace here
     profile_dir: Optional[str] = None
+    # multi-device SPMD (SURVEY §5 sharding plan): devices > 1 runs the
+    # fused outer driver under jax.shard_map over a 1-D mesh — the factor
+    # R / ELL rows / L-BFGS history row-shard, constraint vectors
+    # replicate, scalar reductions and Lanczos recurrences psum over ICI
+    # (parallel/shardmap.py). Equivalent to passing solve(..., mesh=...).
+    devices: int = 1
 
     def copy_with(self, **kwargs) -> "SolverConfig":
         unknown = set(kwargs) - {f.name for f in dataclasses.fields(self)}

@@ -68,6 +68,16 @@ class DeviceProblem:
     # fast-diagonal SpMM path: wide diagonal constraints' weights as dense
     # row-aligned rows (see compile.py); (0, n_pad) when no wide constraints
     wide_diag_w: jax.Array = None  # (n_wide, n_pad)
+    # generalized LS dual multiplier structure (compile.py
+    # _compile_ls_structure, solver/dualbound.ls_dual_head); all None when
+    # ls_eligible is False
+    ls_cw: jax.Array = None         # (n_pad,)
+    ls_slope_pos: jax.Array = None  # (n_pad,)
+    ls_slope_neg: jax.Array = None  # (n_pad,)
+    ls_gid_pos: jax.Array = None    # (n_pad,) int32 (m = no channel)
+    ls_gid_neg: jax.Array = None    # (n_pad,)
+    ls_v_pos: jax.Array = None      # (n_pad,)
+    ls_v_neg: jax.Array = None      # (n_pad,)
 
     # -- static metadata ------------------------------------------------------
     n: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -94,6 +104,10 @@ class DeviceProblem:
     # constraint i is exactly X_ii (MaxCut/CutNorm shape): enables the
     # closed-form least-squares dual estimate (solver/major.py dual_bound)
     diag_identity: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # generalized LS dual multiplier applies (superset of diag_identity;
+    # compile.py _compile_ls_structure)
+    ls_eligible: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    ls_wide_gid: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
     @property
     def dtype(self):
@@ -180,6 +194,19 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
             f(cp.wide_diag_w) if cp.wide_diag_w is not None
             else f(np.zeros((0, cp.n_pad)))
         ),
+        ls_cw=f(cp.ls_cw) if cp.ls_cw is not None else None,
+        ls_slope_pos=(
+            f(cp.ls_slope_pos) if cp.ls_slope_pos is not None else None
+        ),
+        ls_slope_neg=(
+            f(cp.ls_slope_neg) if cp.ls_slope_neg is not None else None
+        ),
+        ls_gid_pos=i(cp.ls_gid_pos) if cp.ls_gid_pos is not None else None,
+        ls_gid_neg=i(cp.ls_gid_neg) if cp.ls_gid_neg is not None else None,
+        ls_v_pos=f(cp.ls_v_pos) if cp.ls_v_pos is not None else None,
+        ls_v_neg=f(cp.ls_v_neg) if cp.ls_v_neg is not None else None,
+        ls_eligible=bool(cp.ls_eligible),
+        ls_wide_gid=int(cp.ls_wide_gid),
         extra_gids=tuple(cp.extra_gids),
         n=cp.n,
         m=cp.m,

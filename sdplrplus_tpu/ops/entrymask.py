@@ -300,3 +300,101 @@ def vio_norm_entry(dp: DeviceProblem, v_ew, v_ex, pscale) -> jax.Array:
     reference: src/coreop.jl:22)."""
     sq = _psum(jnp.sum(dp.ew_h * v_ew * v_ew), dp) + jnp.dot(v_ex, v_ex)
     return jnp.sqrt(sq) / pscale
+
+
+# --------------------------------------------------------------------------
+# least-squares dual multiplier (masked-matrix CG)
+# --------------------------------------------------------------------------
+
+def ls_dual_entry(dp: DeviceProblem, R, n_cg: int = 25):
+    """Least-squares dual multiplier for entry-mode (equality-only)
+    families — the Lovász-θ analog of solver/dualbound.ls_dual_head.
+
+    Minimizes ‖S(y)·R‖_F over ALL dual variables: the per-entry edge
+    multipliers live as a masked symmetric matrix Z (Z_ij = v_ij·y_ij on
+    the entry support), the extras (wide diagonal constraints like θ's
+    trace, low-rank couplings) as a small vector a. Solved by CGNR where
+    every operator application is dense MXU matmuls:
+
+        A(Z, a)   = Z@R + Σ_w a_w·diag(w)R + Σ_t a_t·B d Bᵀ R
+        Aᵀ(res)   = (mask ⊙ sym(res·Rᵀ), [⟨diag(w)R, res⟩], [⟨BdBᵀR, res⟩])
+
+    For θ the resulting bound is exactly the classical dual form
+    max_Y λ_min(C + Y_masked) evaluated at the CG solution (any masked Y
+    is dual-feasible; all constraints are equalities so there are no sign
+    restrictions). Returns y_head (m,). No reference counterpart — the
+    reference evaluates only the AL ascent iterate
+    (src/coreop.jl:376-415)."""
+    import jax
+
+    dtype = R.dtype
+    mask = (dp.ew_h != 0).astype(dtype)          # entry support, local rows
+    R_f = _full_rows(dp, R)
+    nw = _n_extra_wide(dp)
+    lr_terms = _extra_lowrank(dp)
+    n_ex = nw + len(lr_terms)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    # precompute the extras' fixed factors W_e R (each (n_loc, r))
+    WR = []
+    for e in range(nw):
+        WR.append(dp.extra_wide_w[e][:, None] * R)
+    for _, t in lr_terms:
+        WR.append(_hp(t.B, t.d[:, None] * _psum(_hp(t.B.T, R), dp)))
+
+    def A_op(Z, a):
+        out = Z @ R_f
+        for e in range(n_ex):
+            out = out + a[e] * WR[e]
+        return out
+
+    def At_op(res):
+        res_f = _full_rows(dp, res)
+        Zg = 0.5 * mask * (_hp(res, R_f.T) + _hp(R, res_f.T))
+        ag = jnp.stack(
+            [_psum(jnp.sum(WR[e] * res), dp) for e in range(n_ex)]
+        ) if n_ex else jnp.zeros((0,), dtype)
+        return Zg, ag
+
+    def dot(v1, v2):
+        (Z1, a1), (Z2, a2) = v1, v2
+        return _psum(jnp.sum(Z1 * Z2), dp) + jnp.dot(a1, a2)
+
+    U = apply_C_entry(dp, R)                      # b = -U
+    x = (jnp.zeros_like(mask), jnp.zeros((n_ex,), dtype))
+    r = At_op(-U)
+    p = r
+
+    def body(_, carry):
+        x, r, p, gamma = carry
+        s = A_op(*p)
+        s2 = _psum(jnp.sum(s * s), dp)
+        alpha = gamma / jnp.maximum(s2, tiny)
+        x2 = (x[0] + alpha * p[0], x[1] + alpha * p[1])
+        dZ, da = At_op(s)
+        r2 = (r[0] - alpha * dZ, r[1] - alpha * da)
+        gamma2 = dot(r2, r2)
+        beta = gamma2 / jnp.maximum(gamma, tiny)
+        p2 = (r2[0] + beta * p[0], r2[1] + beta * p[1])
+        return x2, r2, p2, gamma2
+
+    gamma0 = dot(r, r)
+    x, _, _, _ = jax.lax.fori_loop(0, n_cg, body, (x, r, p, gamma0))
+    Z, a = x
+
+    # recover the per-entry multipliers y_e = Z_ij / v_ij (like entry_merge)
+    n_loc = Z.shape[0]
+    off = _row_offset(dp, n_loc)
+    lr_rows = dp.entry_rows - off
+    valid = jnp.logical_and(lr_rows >= 0, lr_rows < n_loc)
+    Zi = jnp.where(
+        valid, Z[jnp.clip(lr_rows, 0, n_loc - 1), dp.entry_cols], 0.0
+    )
+    vi = jnp.where(
+        valid, dp.ew_v1[jnp.clip(lr_rows, 0, n_loc - 1), dp.entry_cols], 1.0
+    )
+    ye = _psum(Zi / jnp.where(vi == 0, 1.0, vi), dp)
+    y_head = jnp.zeros((dp.m,), dtype).at[dp.entry_gids].set(ye)
+    if dp.extra_gids:
+        y_head = y_head.at[jnp.asarray(dp.extra_gids)].set(a)
+    return y_head

@@ -103,6 +103,17 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
                       else None),
         extra_gids=dp.extra_gids,
         wide_diag_w=P(None, AXIS),
+        # LS dual-multiplier structure: small (n_pad,) vectors, replicated
+        # (ls_dual_head gathers the row-local w to full before using them)
+        ls_cw=rep if dp.ls_cw is not None else None,
+        ls_slope_pos=rep if dp.ls_slope_pos is not None else None,
+        ls_slope_neg=rep if dp.ls_slope_neg is not None else None,
+        ls_gid_pos=rep if dp.ls_gid_pos is not None else None,
+        ls_gid_neg=rep if dp.ls_gid_neg is not None else None,
+        ls_v_pos=rep if dp.ls_v_pos is not None else None,
+        ls_v_neg=rep if dp.ls_v_neg is not None else None,
+        ls_eligible=dp.ls_eligible,
+        ls_wide_gid=dp.ls_wide_gid,
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,
@@ -182,7 +193,8 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
                         ptol_relative: bool = True,
                         objtol_relative: bool = True,
                         highprecision: bool = False,
-                        lbfgs_compact: bool = True):
+                        lbfgs_compact: bool = True,
+                        dual_safeguard: bool = True):
     """shard_map-wrapped FUSED outer driver (solver/major.major_chunk_impl):
     the full major-iteration state machine — inner L-BFGS loop, Lanczos
     dual bound (row-sharded Krylov vectors, psum'd recurrences), dual
@@ -223,7 +235,7 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
         k=k, use_armijo=use_armijo, gtol_relative=gtol_relative,
         ptol_relative=ptol_relative, objtol_relative=objtol_relative,
         q_max=q_max, highprecision=highprecision,
-        lbfgs_compact=lbfgs_compact,
+        lbfgs_compact=lbfgs_compact, dual_safeguard=dual_safeguard,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

@@ -117,6 +117,22 @@ def shard_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         normC=dp.normC,
         normb=dp.normb,
         diag_identity=dp.diag_identity,
+        # LS dual-multiplier structure: small (n_pad,) vectors, replicated
+        ls_cw=put(dp.ls_cw, s_rep) if dp.ls_cw is not None else None,
+        ls_slope_pos=(put(dp.ls_slope_pos, s_rep)
+                      if dp.ls_slope_pos is not None else None),
+        ls_slope_neg=(put(dp.ls_slope_neg, s_rep)
+                      if dp.ls_slope_neg is not None else None),
+        ls_gid_pos=(put(dp.ls_gid_pos, s_rep)
+                    if dp.ls_gid_pos is not None else None),
+        ls_gid_neg=(put(dp.ls_gid_neg, s_rep)
+                    if dp.ls_gid_neg is not None else None),
+        ls_v_pos=(put(dp.ls_v_pos, s_rep)
+                  if dp.ls_v_pos is not None else None),
+        ls_v_neg=(put(dp.ls_v_neg, s_rep)
+                  if dp.ls_v_neg is not None else None),
+        ls_eligible=dp.ls_eligible,
+        ls_wide_gid=dp.ls_wide_gid,
     )
 
 

@@ -215,59 +215,52 @@ def major_chunk_impl(
         return -yb + trace_bound * jnp.minimum(min_eig, 0.0)
 
     def dual_bound(c: MajorCarry, sub):
-        """Dual value at the AL multiplier estimate, plus — on
-        identity-diagonal families (dp.diag_identity: MaxCut/CutNorm) —
-        at the closed-form least-squares multiplier y_i = −⟨(CR)ᵢ,Rᵢ⟩/‖Rᵢ‖²
-        (argmin_y ‖S(y)R‖_F, i.e. the y making the current factor most
-        stationary for S). The LS estimate typically certifies a tighter
-        bound near convergence than the AL λ − σv ascent iterate, which
-        carries O(σ·v) noise; both are valid duals for ANY y (weak
-        duality), so taking the max is safe. No reference counterpart —
-        the reference only evaluates the AL multipliers
-        (src/coreop.jl:376-415)."""
-        y_al = -jnp.minimum(dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m])
-        if not getattr(dp, "diag_identity", False):
-            return _bound_for(c, y_al, sub), y_al
-        from ..ops.forward import _full
-        from ..ops.spmm import spmm_C
+        """Dual value at the least-squares multiplier on LS-eligible
+        (all-diagonal-constraint) families — the y minimizing ‖S(y)R‖_F
+        with the equality/inequality split chosen to maximize −⟨y,b⟩
+        (solver/dualbound.ls_dual_head; covers MaxCut/CutNorm identity
+        diagonals, MinBisection's rank-1 coupling, and the μ-conductance
+        inequality family) — or at the AL ascent iterate otherwise. The
+        LS estimate certifies a far tighter bound than the AL λ − σv
+        iterate, which carries O(σ·v) noise; any y is a valid dual (weak
+        duality). ONE Lanczos either way, so the feasible-branch program
+        stays the same size as the reference scheme
+        (src/coreop.jl:376-415, which only evaluates the AL iterate)."""
+        y_al = -jnp.minimum(
+            dp.lam_ub, c.lam - c.sigma * c.ic.vio_raw[:m])
+        if getattr(dp, "ew_c2", None) is not None:
+            # entry mode (Lovász-θ family): masked-matrix CG multiplier
+            from ..ops.entrymask import ls_dual_entry
 
-        R = c.ic.R
-        if use_cx and c.ic.CX is not None:
-            CR = c.ic.CX  # sparse part of C @ R, carried by the inner loop
+            y_ls = ls_dual_entry(dp, c.ic.R)
+        elif getattr(dp, "ls_eligible", False):
+            from .dualbound import ls_dual_head
+
+            CR = c.ic.CX if (use_cx and c.ic.CX is not None) else None
+            y_ls = ls_dual_head(dp, c.ic.R, CR, y_fallback=y_al)
         else:
-            CR = spmm_C(dp, _full(dp, R))
-        for t in dp.lowrank:  # diag_identity ⇒ all lowrank terms are C's
-            BtR = jnp.matmul(
-                t.B.T, R, precision=jax.lax.Precision.HIGHEST)
-            if dp.spmd_axis is not None:
-                BtR = jax.lax.psum(BtR, dp.spmd_axis)
-            CR = CR + jnp.matmul(
-                t.B, t.d[:, None] * BtR,
-                precision=jax.lax.Precision.HIGHEST)
-        num = jnp.sum(CR * R, axis=1)
-        den = jnp.maximum(jnp.sum(R * R, axis=1), jnp.asarray(
-            jnp.finfo(dtype).tiny, dtype))
-        y_row = -num / den
-        if dp.spmd_axis is not None:
-            y_row = _full(dp, y_row[:, None])[:, 0]
-        # ONE Lanczos evaluated at the LS multiplier (clamped into the
-        # dual-feasible region): near convergence it dominates the AL
-        # ascent iterate, which carries O(σ·v) noise; a single eigensolve
-        # keeps the feasible-branch program the same size as the
-        # reference scheme (max_dual still maxes over boundaries, so an
-        # early weak LS bound costs nothing).
-        y_ls = jnp.maximum(y_row[:m], -dp.lam_ub)
-        dual = _bound_for(c, y_ls, sub)
-        return dual, y_ls
+            return _bound_for(c, y_al, sub), y_al
+        # alternate LS / AL multipliers across feasible boundaries: ONE
+        # Lanczos per boundary (program stays reference-sized) while
+        # max_dual accumulates the better of both estimates — the LS
+        # bound dominates when the factor is near-stationary, the AL
+        # bound when range(R) is blind to a dual direction (MinBisection
+        # K₂'s 11ᵀ multiplier at a balanced factor)
+        y = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(c.feas_count % 2 == 0, a, b), y_ls, y_al
+        )
+        return _bound_for(c, y, sub), y
 
     def feasible_branch(c: MajorCarry, vio_norm):
         """reference: src/sdplr.jl:310-364."""
         key, sub = jax.random.split(c.key)
         dual, y_head = dual_bound(c, sub)
 
+        # `dual > max_dual` (not jnp.maximum) so a NaN dual — e.g. a
+        # pathological multiplier state — can never poison the running best
         better = dual > c.max_dual
         best_lam = jnp.where(better, -y_head, c.best_lam)
-        max_dual = jnp.maximum(dual, c.max_dual)
+        max_dual = jnp.where(better, dual, c.max_dual)
 
         obj = c.ic.vio_raw[m]
         if objtol_relative:
@@ -285,7 +278,7 @@ def major_chunk_impl(
             jnp.where(no_prog, c.rankupd_cnt - 1, rankupd_tol),
             c.rankupd_cnt,
         )
-        min_gap = jnp.where(strict, jnp.minimum(c.min_gap, gap), c.min_gap)
+        min_gap = jnp.where(strict & (gap < c.min_gap), gap, c.min_gap)
         rank_double = jnp.logical_and(cnt == 0, jnp.logical_not(conv))
 
         # dual ascent + tighten (skipped entirely on convergence/rank exit)
@@ -374,6 +367,11 @@ major_chunk = functools.partial(
 )(major_chunk_impl)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rankupd_tol", "gtol_relative", "ptol_relative",
+                     "with_cx"),
+)
 def init_major_carry(dp: DeviceProblem, R, lam, sigma, cur_ptol, cur_gtol,
                      key, lbfgs, rankupd_tol: int, *,
                      gtol_relative: bool, ptol_relative: bool,
@@ -382,7 +380,10 @@ def init_major_carry(dp: DeviceProblem, R, lam, sigma, cur_ptol, cur_gtol,
     doubling). Runs one fg! to populate (L, vio, G). ``with_cx`` must match
     the engine selection of the major_chunk this carry feeds (True iff the
     plain inner_step engine runs on a fast-diagonal problem); None
-    auto-detects for plain (non-megakernel) major_chunk calls."""
+    auto-detects for plain (non-megakernel) major_chunk calls.
+
+    Jitted: over the remote-TPU tunnel the eager form costs one dispatch
+    (plus a ~0.4 s per-op remote compile) for each of its ~50 ops."""
     dtype = R.dtype
     if with_cx is None:
         with_cx = (

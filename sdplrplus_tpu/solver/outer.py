@@ -149,6 +149,21 @@ def _feasible_obj(prob, dp, R_np: np.ndarray):
     return total
 
 
+def _engine_name(dp, use_mega: bool) -> str:
+    """Which inner-loop engine served this solve (result provenance)."""
+    from ..ops.device import fast_diag_eligible
+
+    if use_mega:
+        return "pallas-megakernel"
+    if getattr(dp, "ew_c2", None) is not None:
+        return "entry-mask"
+    if getattr(dp, "C_dense", None) is not None:
+        return "dense-mxu"
+    if fast_diag_eligible(dp):
+        return "fast-diag-spmm"
+    return "xla-general"
+
+
 def _final_gap(obj: float, max_dual: float, have_dual) -> float:
     """Relative duality gap of the FINAL iterate against the best
     certified dual bound: (obj - d*)/min(|obj|, |d*|).
@@ -182,35 +197,70 @@ def sdplr(C, As, b, r: int, *, constraint_types=None,
 
 def solve(prob: SDPProblem, r: int, config: SolverConfig,
           mesh=None) -> dict:
+    """Solve ``prob``. With ``config.devices > 1`` (or an explicit
+    ``mesh``) the fused outer driver runs under jax.shard_map over a 1-D
+    device mesh: R / ELL rows / L-BFGS history row-sharded, constraint
+    vectors replicated, scalar reductions and Lanczos recurrences psum'd
+    (parallel/shardmap.py; SURVEY §5 sharding plan)."""
     if config.printlevel > 0:
         print_heading(True)
 
     t_pre = time.time()
     dtype = resolve_dtype(config)
-    cp = compile_problem(prob, dense=config.dense_mode, entry=config.entry_mode)
-    dp = to_device(cp, dtype)
+    if mesh is None and int(config.devices) > 1:
+        from ..parallel.spmd import make_mesh
+
+        mesh = make_mesh(int(config.devices))
+    if mesh is not None:
+        import math
+
+        from ..parallel.shardmap import shardmap_problem
+
+        nd = int(np.prod(mesh.devices.shape))
+        pad = 128 * nd // math.gcd(128, nd)
+        cp = compile_problem(
+            prob, dense=config.dense_mode, entry=config.entry_mode,
+            n_shards=nd, row_pad=pad, nnz_pad=pad,
+        )
+        dp = to_device(cp, dtype)
+        dp_spmd, specs = shardmap_problem(cp, dtype, mesh)
+        spmd = (mesh, dp_spmd, specs)
+    else:
+        cp = compile_problem(
+            prob, dense=config.dense_mode, entry=config.entry_mode
+        )
+        dp = to_device(cp, dtype)
+        spmd = None
     preprocess_time = time.time() - t_pre
 
     if config.profile_dir is not None:
         with jax.profiler.trace(config.profile_dir):
-            result = _solve(prob, dp, r, config, dtype)
+            result = _solve(prob, dp, r, config, dtype, spmd)
     else:
-        result = _solve(prob, dp, r, config, dtype)
+        result = _solve(prob, dp, r, config, dtype, spmd)
     result["preprocess_time"] = preprocess_time
     result["totaltime"] += preprocess_time
+    result["devices"] = 1 if spmd is None else int(np.prod(mesh.devices.shape))
 
     if config.printlevel > 0:
         print_heading(False)
     return result
 
 
-def _solve(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
+def _solve(prob, dp, r: int, config: SolverConfig, dtype,
+           spmd=None) -> dict:
+    if spmd is not None and not config.fused_outer:
+        raise ValueError(
+            "multi-device solves run through the fused outer driver; "
+            "set fused_outer=True (the default) when devices > 1"
+        )
     if config.fused_outer:
-        return _solve_fused(prob, dp, r, config, dtype)
+        return _solve_fused(prob, dp, r, config, dtype, spmd)
     return _solve_host(prob, dp, r, config, dtype)
 
 
-def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
+def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
+                 spmd=None) -> dict:
     """Fused driver: each dispatch runs up to ``inner_chunk`` inner steps AND
     every major-iteration boundary it crosses on device (solver/major.py).
     The host only checks wall-clock limits, prints, checkpoints, and
@@ -243,7 +293,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     )
 
     mega_meta = mega_data = None
-    if config.inner_impl in ("auto", "mega"):
+    if config.inner_impl in ("auto", "mega") and spmd is None:
         eligible = megakernel_eligible(dp, r, k, use_armijo, dtype)
         if config.inner_impl == "auto" and jax.default_backend() != "tpu":
             eligible = False
@@ -251,6 +301,25 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             mega_meta, mega_data = prepare_mega_data(
                 dp, k=k, gtol_relative=gtol_rel, ptol_relative=ptol_rel
             )
+
+    # shard_map runners for the SPMD path, cached per Lanczos bucket
+    # (parallel/shardmap.py make_shardmap_major)
+    spmd_runners: dict = {}
+
+    def spmd_runner(q_max_now: int):
+        if q_max_now not in spmd_runners:
+            from ..parallel.shardmap import make_shardmap_major
+
+            mesh_, _, specs_ = spmd
+            spmd_runners[q_max_now] = make_shardmap_major(
+                mesh_, specs_, k=k, use_armijo=use_armijo,
+                q_max=q_max_now, gtol_relative=gtol_rel,
+                ptol_relative=ptol_rel, objtol_relative=objtol_rel,
+                highprecision=bool(config.eigval_highprecision),
+                lbfgs_compact=config.lbfgs_impl == "compact",
+                dual_safeguard=bool(config.dual_safeguard),
+            )
+        return spmd_runners[q_max_now]
 
     def mega_kwargs(r_now: int):
         if mega_meta is None or not megakernel_eligible(
@@ -320,9 +389,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         q_need = min(q_need, max(n, 1), 1024)
         q_max = bucket_q_max(q_need)
 
-        mkw, mdata = mega_kwargs(r)
-        carry, vio_norm_d = major_chunk(
-            dp, carry,
+        chunk_args = (
             jnp.asarray(steps_now + chunk, jnp.int32),
             jnp.asarray(major_thresh, jnp.int32),
             jnp.asarray(base_total, jnp.int32),
@@ -333,15 +400,23 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             jnp.asarray(config.sigmafac, dtype),
             jnp.asarray(config.prior_trace_bound, dtype),
             jnp.asarray(config.rankupd_tol, jnp.int32),
-            mdata,
-            k=k, use_armijo=use_armijo,
-            gtol_relative=gtol_rel, ptol_relative=ptol_rel,
-            objtol_relative=objtol_rel, q_max=q_max,
-            highprecision=bool(config.eigval_highprecision),
-            dual_safeguard=bool(config.dual_safeguard),
-            lbfgs_compact=config.lbfgs_impl == "compact",
-            **mkw,
         )
+        if spmd is not None:
+            carry, vio_norm_d = spmd_runner(q_max)(
+                spmd[1], carry, *chunk_args
+            )
+        else:
+            mkw, mdata = mega_kwargs(r)
+            carry, vio_norm_d = major_chunk(
+                dp, carry, *chunk_args, mdata,
+                k=k, use_armijo=use_armijo,
+                gtol_relative=gtol_rel, ptol_relative=ptol_rel,
+                objtol_relative=objtol_rel, q_max=q_max,
+                highprecision=bool(config.eigval_highprecision),
+                dual_safeguard=bool(config.dual_safeguard),
+                lbfgs_compact=config.lbfgs_impl == "compact",
+                **mkw,
+            )
 
         new_steps = int(carry.ic.steps)
         new_majors = int(carry.majoriters)
@@ -534,6 +609,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "R": R_np,
         "Rt": R_np.T,
         "lambda": np.asarray(carry.best_lam, dtype=np.float64),
+        "lambda_last": np.asarray(carry.lam, dtype=np.float64),
         "R0": R0_np,
         "Rt0": R0_np.T,
         "lambda0": lam0_np,
@@ -562,6 +638,9 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "rankupd_tol": config.rankupd_tol,
         "r": r,
         "timed_out": timed_out,
+        "inner_engine": _engine_name(dp, bool(mega_kwargs(r)[0])) + (
+            "+shard_map" if spmd is not None else ""
+        ),
         "dtype": str(jnp.dtype(dtype)),
     }
 
@@ -632,6 +711,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
     total_iter = 0
     majoriter = 0
     dual_time = 0.0
+    dual_count = 0
 
     duality_gap = 1e20
     min_duality_gap = 1e20
@@ -717,7 +797,11 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         converged = False
 
         if vio_norm <= cur_ptol:
-            # ---- dual bound (reference: src/sdplr.jl:310-357)
+            # ---- dual bound (reference: src/sdplr.jl:310-357). The
+            # multiplier alternates between the LS estimate (R passed)
+            # and the AL ascent iterate across boundaries, mirroring the
+            # fused driver (solver/major.py dual_bound) — max_dual
+            # accumulates the better of both.
             t_dual = time.time()
             key, sub = jax.random.split(key)
             dual_value, _, y_dual = dual_obj(
@@ -725,8 +809,9 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 max(total_iter, 1), sub,
                 highprecision=config.eigval_highprecision,
                 safeguard=config.dual_safeguard,
-                R=R,
+                R=R if dual_count % 2 == 0 else None,
             )
+            dual_count += 1
             dual_time += time.time() - t_dual
 
             if dual_value > max_dual_value:
@@ -845,6 +930,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "R": R_np,
         "Rt": R_np.T,
         "lambda": best_lam,
+        "lambda_last": np.asarray(lam, dtype=np.float64),
         "R0": R0_np,
         "Rt0": R0_np.T,
         "lambda0": lam0_np,
@@ -871,6 +957,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "rankupd_tol": config.rankupd_tol,
         "r": r,
         "timed_out": timed_out,
+        "inner_engine": _engine_name(dp, mega_run_for(r) is not None),
         "dtype": str(jnp.dtype(dtype)),
     }
 
