@@ -72,6 +72,12 @@ class SolverConfig:
     dtype: Optional[str] = None
     seed: int = 0                 # PRNG seed for random R0 / Lanczos start
     inner_chunk: int = 1000       # device inner-loop steps per host sync
+    # target seconds of device work per fused dispatch: the driver adapts
+    # the per-dispatch step budget (≤ inner_chunk) to this wall time.
+    # Long single dispatches (≥ ~30 s at n=100k) reproducibly fault the
+    # remote TPU worker, and coarse dispatches also make maxtime checks
+    # sluggish. 0 disables adaptation (always inner_chunk).
+    dispatch_target_s: float = 5.0
     # fused outer driver (solver/major.py): the entire major-iteration state
     # machine — inner loop, dual bound, dual ascent, σ/tolerance schedule —
     # runs as ONE device program per dispatch, amortizing host<->device RTT

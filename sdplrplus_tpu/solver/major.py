@@ -252,15 +252,35 @@ def major_chunk_impl(
         return _bound_for(c, y, sub), y
 
     def feasible_branch(c: MajorCarry, vio_norm):
-        """reference: src/sdplr.jl:310-364."""
+        """reference: src/sdplr.jl:310-364. The Lanczos dual bound only
+        runs at STRICT boundaries (vio ≤ final ptol): at loose early
+        boundaries the multiplier is far from dual-optimal and its bound
+        essentially never survives the running max — while every bound
+        costs q ≈ √iter·log n operator passes, which on the gather-bound
+        engines at n ≥ 20k was ~80% of total wall time. (The reference
+        computes a bound at every feasible boundary, src/sdplr.jl:310-321,
+        but its rank-1 CPU SpMV is ~r× cheaper than its SpMM; on TPU both
+        cost the same per pass, ops/spmm.py.)"""
         key, sub = jax.random.split(c.key)
-        dual, y_head = dual_bound(c, sub)
+        strict0 = vio_norm <= ptol_final
 
-        # `dual > max_dual` (not jnp.maximum) so a NaN dual — e.g. a
-        # pathological multiplier state — can never poison the running best
-        better = dual > c.max_dual
-        best_lam = jnp.where(better, -y_head, c.best_lam)
-        max_dual = jnp.where(better, dual, c.max_dual)
+        def with_bound(c):
+            dual, y_head = dual_bound(c, sub)
+            # `dual > max_dual` (not jnp.maximum) so a NaN dual — e.g. a
+            # pathological multiplier state — never poisons the running best
+            better = dual > c.max_dual
+            return (
+                jnp.where(better, -y_head, c.best_lam),
+                jnp.where(better, dual, c.max_dual),
+                c.feas_count + 1,
+            )
+
+        def skip_bound(c):
+            return c.best_lam, c.max_dual, c.feas_count
+
+        best_lam, max_dual, feas_count = lax.cond(
+            strict0, with_bound, skip_bound, c
+        )
 
         obj = c.ic.vio_raw[m]
         if objtol_relative:
@@ -294,7 +314,7 @@ def major_chunk_impl(
             best_lam=best_lam, max_dual=max_dual, min_gap=min_gap,
             last_gap=gap, rankupd_cnt=cnt, converged=conv,
             rank_double=rank_double,
-            feas_count=c.feas_count + 1,
+            feas_count=feas_count,
         )
 
     def infeasible_branch(c: MajorCarry, vio_norm):

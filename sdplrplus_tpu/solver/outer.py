@@ -364,13 +364,18 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     timed_out = False
     vio_norm = float("inf")
 
+    # adaptive per-dispatch step budget (see config.dispatch_target_s):
+    # starts small, converges to target_s / measured-per-step-time
+    adapt = config.dispatch_target_s > 0
+    chunk_now = min(config.inner_chunk, 250) if adapt else config.inner_chunk
+
     while True:
         steps_now = int(carry.ic.steps)
         majors_now = int(carry.majoriters)
         total_iter = base_total + steps_now
         majoriter = base_major + majors_now
 
-        chunk = min(config.inner_chunk, config.maxiter - total_iter + 1)
+        chunk = min(chunk_now, config.maxiter - total_iter + 1)
         major_thresh = config.maxmajoriter - base_major
         if chunk <= 0:
             print("Warning: iteration limit exceeded. Stop optimizing.")
@@ -389,9 +394,15 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         q_need = min(q_need, max(n, 1), 1024)
         q_max = bucket_q_max(q_need)
 
+        # cap major boundaries per dispatch too: each strict boundary runs
+        # a q-matvec Lanczos (~10 s at n=100k), and several in one
+        # dispatch would overrun the worker's execution watchdog
+        dispatch_majors = (
+            min(major_thresh, majors_now + 2) if adapt else major_thresh
+        )
         chunk_args = (
             jnp.asarray(steps_now + chunk, jnp.int32),
-            jnp.asarray(major_thresh, jnp.int32),
+            jnp.asarray(dispatch_majors, jnp.int32),
             jnp.asarray(base_total, jnp.int32),
             jnp.asarray(stag_tol, dtype),
             jnp.asarray(config.ptol, dtype),
@@ -401,6 +412,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
             jnp.asarray(config.prior_trace_bound, dtype),
             jnp.asarray(config.rankupd_tol, jnp.int32),
         )
+        t_dispatch = time.time()
         if spmd is not None:
             carry, vio_norm_d = spmd_runner(q_max)(
                 spmd[1], carry, *chunk_args
@@ -421,6 +433,19 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         new_steps = int(carry.ic.steps)
         new_majors = int(carry.majoriters)
         vio_norm = float(vio_norm_d)
+        if adapt:
+            # re-target the next dispatch's step budget to ~target_s of
+            # device time (the int() sync above already forced completion,
+            # so the wall time is an honest execution measure; the first
+            # dispatch includes compile time and under-estimates the rate,
+            # which only makes the next chunk conservatively small)
+            dt = max(time.time() - t_dispatch, 1e-3)
+            did = max(new_steps - steps_now, 1)
+            rate = did / dt
+            chunk_now = int(
+                min(max(rate * config.dispatch_target_s, 64),
+                    config.inner_chunk)
+            )
         total_iter = base_total + new_steps
         majoriter = base_major + new_majors
 
@@ -571,22 +596,36 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     # ---- dual-time attribution (BASELINE protocol: totaltime = preprocess
     # + primal + dual, reference src/sdplr.jl:414-425). The fused driver
     # computes its dual bounds inside the device state machine, so the
-    # split is reconstructed from a work model with ZERO extra dispatches:
-    # each dual bound runs ~q Lanczos matvecs (rank-1 operator applies,
-    # ops/lanczos.py), each inner iteration runs ~3 rank-r operator
-    # applies (2 forward products in the line search + 1 adjoint SpMM,
-    # SURVEY §3.2) — the nnz/n² factor cancels in the ratio, so the same
-    # model covers the sparse, dense-MXU, and megakernel regimes. The
-    # estimate is clamped to [0, totaltime] by construction.
+    # split is reconstructed from a work model with ZERO extra dispatches.
+    # The unit costs are ENGINE-AWARE:
+    #   * gather-bound engines (fast-diag / general ELL SpMM): one
+    #     operator pass costs ~nnz × 3 ns regardless of the lane count r
+    #     (ops/spmm.py), so a rank-1 Lanczos matvec costs the SAME as a
+    #     rank-r SpMM — dual = feas·q passes vs primal = passes-per-iter
+    #     × steps (1 for fast-diag's single-SpMM iteration, 3 for the
+    #     general engine's two line-search products + adjoint).
+    #   * matmul-bound engines (dense-MXU / megakernel / entry-mask):
+    #     cost ∝ r, so an inner iteration costs ~3·r units and a Lanczos
+    #     matvec 1 unit.
+    # Validated against the host driver's MEASURED split (exps/ab_dualtime
+    # A/B, docs/DESIGN.md). Clamped to [0, totaltime] by construction.
     dual_time = 0.0
     feas = int(carry.feas_count)
     total_steps = base_total + int(carry.ic.steps)
     if feas > 0 and total_steps > 0:
         from ..ops.lanczos import lanczos_q
 
-        q_final = lanczos_q(max(total_steps, 1), n)
+        # same 1024 ceiling the driver applies to the real q (see the
+        # q_need clamp in the dispatch loop)
+        q_final = min(lanczos_q(max(total_steps, 1), n), max(n, 1), 1024)
         dual_units = float(feas) * float(q_final)
-        primal_units = 3.0 * float(max(r, 1)) * float(total_steps)
+        engine = _engine_name(dp, bool(mega_kwargs(r)[0]))
+        if engine == "fast-diag-spmm":
+            primal_units = 1.0 * float(total_steps)
+        elif engine == "xla-general":
+            primal_units = 3.0 * float(total_steps)
+        else:  # matmul-bound: dense-MXU, megakernel, entry-mask
+            primal_units = 3.0 * float(max(r, 1)) * float(total_steps)
         frac = dual_units / max(dual_units + primal_units, 1e-30)
         dual_time = min(max(frac * totaltime, 0.0), totaltime)
 
@@ -803,15 +842,20 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             # fused driver (solver/major.py dual_bound) — max_dual
             # accumulates the better of both.
             t_dual = time.time()
-            key, sub = jax.random.split(key)
-            dual_value, _, y_dual = dual_obj(
-                dp, lam, sigma, vio_raw, config.prior_trace_bound,
-                max(total_iter, 1), sub,
-                highprecision=config.eigval_highprecision,
-                safeguard=config.dual_safeguard,
-                R=R if dual_count % 2 == 0 else None,
-            )
-            dual_count += 1
+            if vio_norm <= config.ptol:
+                # strict boundary only, mirroring the fused driver's
+                # gating (solver/major.py feasible_branch)
+                key, sub = jax.random.split(key)
+                dual_value, _, y_dual = dual_obj(
+                    dp, lam, sigma, vio_raw, config.prior_trace_bound,
+                    max(total_iter, 1), sub,
+                    highprecision=config.eigval_highprecision,
+                    safeguard=config.dual_safeguard,
+                    R=R if dual_count % 2 == 0 else None,
+                )
+                dual_count += 1
+            else:
+                dual_value = -np.inf
             dual_time += time.time() - t_dual
 
             if dual_value > max_dual_value:
@@ -950,6 +994,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
         "DIMACS_time": dimacs_time,
         "iter": total_iter,
         "majoriter": majoriter,
+        "dual_bounds_computed": dual_count,
         "DIMACS_errs": np.asarray(DIMACS_errs),
         "ptol": config.ptol,
         "objtol": config.objtol,
