@@ -273,16 +273,60 @@ def major_chunk_impl(
                 jnp.where(better, -y_head, c.best_lam),
                 jnp.where(better, dual, c.max_dual),
                 c.feas_count + 1,
+                _certified_obj(c),
             )
 
         def skip_bound(c):
-            return c.best_lam, c.max_dual, c.feas_count
+            return c.best_lam, c.max_dual, c.feas_count, c.ic.vio_raw[m]
 
-        best_lam, max_dual, feas_count = lax.cond(
+        def _certified_obj(c):
+            """Objective used in the termination gap. On identity-diagonal
+            problems (diag(X) = b, b > 0) the raw iterate's objective can
+            sit below the valid dual bound by its O(ptol) infeasibility,
+            so the solve would terminate on a gap its final certificate
+            (outer._feasible_obj, which reports the feasibility-PROJECTED
+            objective) does not meet. Evaluate ⟨C, X̂⟩ at the exactly
+            feasible projection R̂ᵢ = Rᵢ·√(bᵢ)/‖Rᵢ‖ instead — one extra
+            operator pass per strict boundary — so the gap the solver
+            terminates on IS the certificate it reports."""
+            if not getattr(dp, "diag_identity", False):
+                return c.ic.vio_raw[m]
+            from ..ops.forward import _full
+            from ..ops.spmm import spmm_C
+
+            R = c.ic.R
+            nrm2 = jnp.sum(R * R, axis=1)
+            nloc = R.shape[0]
+            off = 0
+            if dp.spmd_axis is not None:
+                off = lax.axis_index(dp.spmd_axis) * nloc
+            rows = jnp.arange(nloc) + off
+            b_row = jnp.where(rows < dp.n, dp.b[jnp.minimum(rows, m - 1)],
+                              0.0)
+            alive = nrm2 > 0
+            scale = jnp.where(
+                alive, jnp.sqrt(b_row / jnp.maximum(nrm2, 1e-30)), 0.0)
+            Rhat = R * scale[:, None]
+            CRh = spmm_C(dp, _full(dp, Rhat))
+            hp = lambda a, bb: jnp.matmul(
+                a, bb, precision=jax.lax.Precision.HIGHEST)
+            for t in dp.lowrank:  # diag_identity ⇒ all low-rank terms are C
+                BtR = hp(t.B.T, Rhat)
+                if dp.spmd_axis is not None:
+                    BtR = lax.psum(BtR, dp.spmd_axis)
+                CRh = CRh + hp(t.B, t.d[:, None] * BtR)
+            obj_cert = jnp.sum(CRh * Rhat)
+            if dp.spmd_axis is not None:
+                obj_cert = lax.psum(obj_cert, dp.spmd_axis)
+            # dead rows make the projection infeasible — fall back to raw
+            bad = jnp.any(jnp.where(rows < dp.n, ~alive, False))
+            if dp.spmd_axis is not None:
+                bad = lax.psum(bad.astype(jnp.int32), dp.spmd_axis) > 0
+            return jnp.where(bad, c.ic.vio_raw[m], obj_cert)
+
+        best_lam, max_dual, feas_count, obj = lax.cond(
             strict0, with_bound, skip_bound, c
         )
-
-        obj = c.ic.vio_raw[m]
         if objtol_relative:
             denom = jnp.minimum(jnp.abs(obj), jnp.abs(max_dual))
             gap = jnp.where(denom > 0, (obj - max_dual) / denom, jnp.inf)

@@ -358,8 +358,12 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     base_total = 0   # inner steps completed before the current carry lifetime
     base_major = 0   # major boundaries completed before the current lifetime
     q_boost = 1      # Lanczos budget escalation once r hits the BP cap
-    tried_polish = False       # one bounded stagnation-off attempt
+    tried_polish = False       # one bounded stagnation-off attempt per rank
     saved_stag_tol = stag_tol  # restored if the polish doesn't converge
+    polish_start = 0           # total_iter when the polish began
+    POLISH_BUDGET = 1500       # inner steps a polish may spend; deadlock
+    #                            stalls resolve in a few hundred steps —
+    #                            past this, rank is the real blocker
     final_polish = False       # permanent stagnation-off at the ladder end
     timed_out = False
     vio_norm = float("inf")
@@ -474,26 +478,29 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
 
         if bool(carry.converged):
             break
+        if (tried_polish and not final_polish and stag_tol == -np.inf
+                and total_iter - polish_start > POLISH_BUDGET):
+            # polish budget exhausted without the gap counter resolving:
+            # restore the stagnation break so the next stall goes straight
+            # to rank doubling
+            stag_tol = saved_stag_tol
         if bool(carry.rank_double):
-            # two distinct stall regimes, discriminated by how the inner
-            # loops have been exiting in this carry lifetime:
-            #   * stagnation deadlock — loops break after a handful of
-            #     fprec-sized steps, λ barely moves, the next loop
-            #     re-stagnates; rank is NOT the problem (an f64 n=20k
-            #     MaxCut frozen at gap 1.02e-2 converges to 9.95e-3 at
-            #     rank TEN once the break is disabled). One bounded
-            #     polish attempt (stagnation off until the next stall)
-            #     beats paying 2× per iteration at the doubled rank.
-            #   * genuinely rank-limited (Lovász-θ) — loops run hundreds
-            #     of steps per major; polish just burns the budget, so
-            #     go straight to the reference's rank doubling.
-            steps_per_major = int(carry.ic.steps) / max(
-                int(carry.majoriters), 1)
-            if stag_tol > -np.inf and not tried_polish and (
-                    steps_per_major < 32):
+            # before paying 2× per iteration at a doubled rank, try ONE
+            # bounded polish (stagnation break off until the gap counter
+            # re-fires) at the CURRENT rank: stagnation-deadlock stalls —
+            # loops breaking after a handful of fprec-sized steps with λ
+            # barely moving — are fixed by the polish alone (an n=20k
+            # MaxCut frozen at certified gap 1.001e-2 at rank 10 reaches
+            # 2e-5 once the break is disabled; rank was never the
+            # problem). The attempt re-arms after every rank change, so
+            # genuinely rank-limited problems (Lovász-θ) pay at most one
+            # bounded polish per rank level before doubling like the
+            # reference (src/coreop.jl:518-526).
+            if stag_tol > -np.inf and not tried_polish:
                 tried_polish = True
                 saved_stag_tol = stag_tol
                 stag_tol = -np.inf
+                polish_start = total_iter
                 if config.printlevel > 0:
                     print("stagnation-deadlock stall; disabling the "
                           "stagnation break (bounded polish) before "
@@ -551,6 +558,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
             base_total = total_iter
             base_major = majoriter
             r = r_new
+            tried_polish = False   # re-arm the bounded polish per level
             if config.printlevel > 0:
                 print(f"rank doubled, new rank is {r}.")
             if config.rank_update_mode == "warm" and config.init_func is None:
