@@ -21,10 +21,10 @@ END = "<!-- results:end -->"
 
 def collect():
     rows = []
-    for path in sorted(glob.glob(os.path.join(OUT, "*", "G*", "*.json"))):
+    for path in sorted(glob.glob(os.path.join(OUT, "*", "*", "*.json"))):
         parts = path.split(os.sep)
         problem, graph = parts[-3], parts[-2]
-        if "warmup" in os.path.basename(path):
+        if problem == "baseline_cpu" or "warmup" in os.path.basename(path):
             continue
         with open(path) as f:
             d = json.load(f)
@@ -34,9 +34,9 @@ def collect():
 
 def render(rows):
     lines = [
-        "| problem | graph | obj | pinfeas | rel gap | iters | majors | "
-        "time (s) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| problem | graph | n | obj | pinfeas | rel gap | iters | "
+        "time (s) | engine | status |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     order = ["MaxCut", "MinimumBisection", "CutNorm", "LovaszTheta",
              "MuConductance"]
@@ -44,10 +44,12 @@ def render(rows):
         order.index(t[0]) if t[0] in order else 99, t[1]))
     for problem, graph, d in rows:
         gap = d.get("rel_duality_gap", d.get("min_duality_gap"))
+        status = "TIMED-OUT" if d.get("timed_out") else "converged"
+        engine = (d.get("inner_engine") or "?").replace("pallas-", "")
         lines.append(
-            f"| {problem} | {graph} | {d['obj']:.4f} | "
+            f"| {problem} | {graph} | {d.get('n', '?')} | {d['obj']:.4f} | "
             f"{d['primal_vio']:.1e} | {gap:.1e} | {d['iter']} | "
-            f"{d['majoriter']} | {d['totaltime']:.2f} |"
+            f"{d['totaltime']:.2f} | {engine} | {status} |"
         )
     return "\n".join(lines)
 
