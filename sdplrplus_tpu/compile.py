@@ -166,6 +166,11 @@ class CompiledProblem:
     ew_v1: np.ndarray | None = None        # (n_pad, n_pad) raw entry value
     ew_h: np.ndarray | None = None         # (n_pad, n_pad) ½ offdiag / 1 diag
     ew_C: np.ndarray | None = None         # dense C for entry mode (sparse C)
+    entry_cpen: np.ndarray | None = None   # (m_e,) |C_ij|·(2 offdiag/1 diag)
+    # entry-mode certified objective applies: exactly one extra (wide,
+    # nonnegative-diagonal, b>0) constraint and no low-rank extras, so
+    # scaling X to satisfy it exactly keeps PSD (see major._certified_obj)
+    entry_trace_cert: bool = False
     extra_gids: Tuple[int, ...] = ()       # wide + low-rank constraint gids
     extra_wide_w: np.ndarray | None = None  # (n_exw, n_pad) diag weights
 
@@ -667,6 +672,8 @@ def compile_problem(
 
     entry_gids = entry_rows = entry_cols = None
     ew_c2 = ew_v1 = ew_h = ew_C = None
+    entry_cpen = None
+    entry_trace_cert = False
     extra_gids: Tuple[int, ...] = ()
     extra_wide_w = None
     if entry_sel:
@@ -699,6 +706,23 @@ def compile_problem(
             tj = agg_cols[:P]
             ew_C[ti, tj] = c_val_one[:P]
             ew_C[tj, ti] = c_val_one[:P]
+        # |C_ij|·(2 offdiag / 1 diag) at the entry positions: the
+        # conservative per-unit objective penalty for an entry violation
+        # (solver/major.py _certified_obj entry branch)
+        c_at = np.zeros(len(ti_n))
+        if ew_C is not None:
+            c_at = ew_C[ti_n, tj_n]
+        for gid_c, A_c in lowrank_ops:
+            if gid_c == m:
+                c_at = c_at + np.sum(
+                    (A_c.B[ti_n] * A_c.d[None, :]) * A_c.B[tj_n], axis=1
+                )
+        entry_cpen = np.abs(c_at) * np.where(ti_n == tj_n, 1.0, 2.0)
+        entry_trace_cert = bool(
+            len(wide_gids) == 1 and not lowrank_con_gids
+            and float(prob.b[wide_gids[0]]) > 0
+            and bool(np.all(extra_wide_w[0] >= 0))
+        )
 
     return CompiledProblem(
         n=n,
@@ -749,6 +773,8 @@ def compile_problem(
         ew_v1=ew_v1,
         ew_h=ew_h,
         ew_C=ew_C,
+        entry_cpen=entry_cpen,
+        entry_trace_cert=entry_trace_cert,
         extra_gids=extra_gids,
         extra_wide_w=extra_wide_w,
         wide_diag_w=wide_diag_w,

@@ -64,6 +64,7 @@ class DeviceProblem:
     ew_v1: jax.Array = None        # (n_pad, n_pad)
     ew_h: jax.Array = None         # (n_pad, n_pad)
     ew_C: jax.Array = None         # (n_pad, n_pad) dense C (None: C low-rank)
+    entry_cpen: jax.Array = None   # (m_e,) per-entry violation penalty
     extra_wide_w: jax.Array = None  # (n_exw, n_pad)
     # fast-diagonal SpMM path: wide diagonal constraints' weights as dense
     # row-aligned rows (see compile.py); (0, n_pad) when no wide constraints
@@ -108,6 +109,9 @@ class DeviceProblem:
     # compile.py _compile_ls_structure)
     ls_eligible: bool = dataclasses.field(metadata=dict(static=True), default=False)
     ls_wide_gid: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    # entry-mode certified objective applies (compile.py; one wide
+    # nonnegative-diag b>0 extra constraint, no low-rank extras)
+    entry_trace_cert: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def dtype(self):
@@ -187,6 +191,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ew_v1=f(cp.ew_v1) if cp.ew_v1 is not None else None,
         ew_h=f(cp.ew_h) if cp.ew_h is not None else None,
         ew_C=f(cp.ew_C) if cp.ew_C is not None else None,
+        entry_cpen=f(cp.entry_cpen) if cp.entry_cpen is not None else None,
         extra_wide_w=(
             f(cp.extra_wide_w) if cp.extra_wide_w is not None else None
         ),
@@ -207,6 +212,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ls_v_neg=f(cp.ls_v_neg) if cp.ls_v_neg is not None else None,
         ls_eligible=bool(cp.ls_eligible),
         ls_wide_gid=int(cp.ls_wide_gid),
+        entry_trace_cert=bool(cp.entry_trace_cert),
         extra_gids=tuple(cp.extra_gids),
         n=cp.n,
         m=cp.m,

@@ -99,6 +99,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         ew_v1=row if dp.ew_v1 is not None else None,
         ew_h=row if dp.ew_h is not None else None,
         ew_C=row if dp.ew_C is not None else None,
+        entry_cpen=rep if dp.entry_cpen is not None else None,
         extra_wide_w=(P(None, AXIS) if dp.extra_wide_w is not None
                       else None),
         extra_gids=dp.extra_gids,
@@ -114,6 +115,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         ls_v_neg=rep if dp.ls_v_neg is not None else None,
         ls_eligible=dp.ls_eligible,
         ls_wide_gid=dp.ls_wide_gid,
+        entry_trace_cert=dp.entry_trace_cert,
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,

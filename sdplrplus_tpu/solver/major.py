@@ -289,6 +289,23 @@ def major_chunk_impl(
             feasible projection R̂ᵢ = Rᵢ·√(bᵢ)/‖Rᵢ‖ instead — one extra
             operator pass per strict boundary — so the gap the solver
             terminates on IS the certificate it reports."""
+            if getattr(dp, "entry_trace_cert", False):
+                # entry-mode (Lovász-θ-family) conservative certificate:
+                # scale X to satisfy the trace-like wide constraint
+                # exactly (s = b_w/(b_w+v_w) > 0 keeps PSD), then charge
+                # every remaining entry violation its worst-case
+                # objective weight |C_ij|·(2 offdiag / 1 diag). Kills the
+                # undershoot that let a pinfeas≈1e-2 iterate report an
+                # objective 4.6% below θ with a "tight" gap (see
+                # exps/output/rank_mode_study_LovaszTheta.json).
+                gid_w = dp.extra_gids[0]
+                b_w = dp.b[gid_w]
+                v_w = c.ic.vio_raw[gid_w]
+                denom_w = b_w + v_w
+                s = jnp.where(denom_w > 0, b_w / denom_w, 1.0)
+                ve = c.ic.vio_raw[dp.entry_gids]
+                pen = jnp.sum(dp.entry_cpen * jnp.abs(ve))
+                return s * c.ic.vio_raw[m] + jnp.abs(s) * pen
             if not getattr(dp, "diag_identity", False):
                 return c.ic.vio_raw[m]
             from ..ops.forward import _full

@@ -115,7 +115,7 @@ def _stagnation_tol(config: SolverConfig, dtype) -> float:
     return tol
 
 
-def _feasible_obj(prob, dp, R_np: np.ndarray):
+def _feasible_obj(prob, dp, R_np: np.ndarray, vio_raw=None):
     """⟨C, X̂⟩ for the feasibility-PROJECTED factor on identity-diagonal
     problems (diag(X) = b, b > 0): R̂ᵢ = Rᵢ·√bᵢ/‖Rᵢ‖ makes X̂ = R̂R̂ᵀ
     exactly feasible, so dual ≤ p* ≤ ⟨C, X̂⟩ is a clean two-sided
@@ -124,6 +124,20 @@ def _feasible_obj(prob, dp, R_np: np.ndarray):
     the projected value keeps rel_duality_gap ≥ 0 whenever the dual
     certificate itself is valid. None when no closed-form projection
     applies (non-diagonal constraint families)."""
+    if getattr(dp, "entry_trace_cert", False) and vio_raw is not None:
+        # entry-mode conservative certificate, mirroring the fused
+        # driver's termination objective (solver/major._certified_obj):
+        # trace-scale + worst-case entry-violation penalty
+        v = np.asarray(vio_raw, dtype=np.float64)
+        gid_w = int(dp.extra_gids[0])
+        b_w = float(np.asarray(dp.b)[gid_w])
+        denom = b_w + v[gid_w]
+        if denom > 0:
+            s = b_w / denom
+            ve = v[np.asarray(dp.entry_gids)]
+            pen = float(np.sum(np.asarray(dp.entry_cpen) * np.abs(ve)))
+            return s * float(v[dp.m]) + abs(s) * pen
+        return None
     if not getattr(dp, "diag_identity", False):
         return None
     b = np.asarray(dp.b, dtype=np.float64)
@@ -648,7 +662,7 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     obj = float(vio_raw[m])
     min_gap = float(carry.min_gap)
     R_np = np.asarray(R[:n], dtype=np.float64)
-    obj_feas = _feasible_obj(prob, dp, R_np)
+    obj_feas = _feasible_obj(prob, dp, R_np, np.asarray(vio_raw))
     final_gap = _final_gap(
         obj if obj_feas is None else obj_feas, float(carry.max_dual), feas
     )
@@ -971,7 +985,7 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
 
     obj = float(vio_raw[m])
     R_np = np.asarray(R[:n], dtype=np.float64)
-    obj_feas = _feasible_obj(prob, dp, R_np)
+    obj_feas = _feasible_obj(prob, dp, R_np, np.asarray(vio_raw))
     rel_gap = _final_gap(
         obj if obj_feas is None else obj_feas, max_dual_value,
         max_dual_value > -1e19,
