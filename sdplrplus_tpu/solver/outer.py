@@ -383,8 +383,11 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     vio_norm = float("inf")
 
     # adaptive per-dispatch step budget (see config.dispatch_target_s):
-    # starts small, converges to target_s / measured-per-step-time
-    adapt = config.dispatch_target_s > 0
+    # starts small, converges to target_s / measured-per-step-time. Small
+    # problems (n_pad ≤ 4096) run full chunks from the start — their
+    # per-step time is microseconds, far from the worker's execution
+    # watchdog, and fragmenting dispatches just multiplies tunnel RTTs.
+    adapt = config.dispatch_target_s > 0 and dp.n_pad > 4096
     chunk_now = min(config.inner_chunk, 250) if adapt else config.inner_chunk
 
     while True:

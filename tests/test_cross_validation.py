@@ -251,3 +251,62 @@ def test_minbisection_g1_independent_certificate():
     rel_gap = (obj_feas - dual) / abs(obj_feas)
     assert rel_gap <= 1e-2, (obj_feas, dual, rel_gap)
     assert abs(res["obj"] - obj_feas) / abs(obj_feas) <= 1e-2
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(GSET), reason="Gset data not vendored")
+def test_mu_conductance_g1_independent_certificate():
+    """Benchmark-scale (n=800) independent certification of the
+    μ-conductance inequality solve on G1 — the last of the five families
+    (completes VERDICT r3 missing #5). The candidate multiplier comes
+    from the generalized LS head; the CERTIFICATION is scipy/f64: sign
+    feasibility of the inequality multipliers, dense λ_min of
+    S = L + y₁D + y₂ddᵀ + diag(z), and the weak-duality value
+    −⟨y,b⟩ + tb·min(λ_min, 0) ≤ p*. The sandwich against the solver's
+    near-feasible objective must close to ≤ 1.5% (box constraints make
+    an exactly-feasible closed-form projection unavailable; pinfeas is
+    driven to ~1e-3)."""
+    import jax.numpy as jnp
+
+    from sdplrplus_tpu.compile import compile_problem
+    from sdplrplus_tpu.models import (
+        mu_conductance_ineq, mu_conductance_lb, mu_conductance_ub,
+    )
+    from sdplrplus_tpu.models.problems import _laplacian
+    from sdplrplus_tpu.ops.device import to_device
+    from sdplrplus_tpu.problem import SDPProblem
+    from sdplrplus_tpu.solver.dualbound import ls_dual_head
+    from sdplrplus_tpu.utils.io import load_mat_adjacency
+
+    mu = 0.1
+    A = load_mat_adjacency(GSET)
+    n = A.shape[0]
+    d = np.asarray(A.sum(axis=1)).ravel()
+    volG = float(d.sum())
+    L = _laplacian(A)
+    ub = mu_conductance_ub(volG, mu)
+    tb = n * ub
+    C, As, b, ct = mu_conductance_ineq(A, mu)
+
+    res = sdplr(C, As, b, 10, constraint_types=ct, ptol=1e-2, objtol=1e-2,
+                prior_trace_bound=tb, printlevel=0, maxtime=900.0)
+    assert res["primal_vio"] <= 1e-2
+
+    cp = compile_problem(SDPProblem(C, list(As), b, ct))
+    dp = to_device(cp, jnp.float32)
+    Rp = np.zeros((cp.n_pad, res["R"].shape[1]), np.float32)
+    Rp[:n] = res["R"]
+    y = np.asarray(ls_dual_head(dp, jnp.asarray(Rp)), np.float64)
+
+    # dual feasibility: inequality multipliers >= 0 (f32 noise tolerated)
+    assert (y[np.asarray(ct)] >= -1e-5).all()
+    y1, y2 = y[0], y[1]
+    z = y[2:2 + n] * 1.0 + y[2 + n:2 + 2 * n] * (-1.0)
+    S = L.toarray() + y1 * np.diag(d) + y2 * np.outer(d, d) + np.diag(z)
+    lmin = float(np.linalg.eigvalsh((S + S.T) / 2)[0])
+    dual = -float(y @ b) + tb * min(lmin, 0.0)
+
+    obj = res["obj"]
+    assert dual <= obj + 1e-6 * abs(obj)
+    rel_gap = (obj - dual) / min(abs(obj), abs(dual))
+    assert rel_gap <= 1.5e-2, (obj, dual, rel_gap)
