@@ -23,7 +23,7 @@ SHORT_KEYS = [
     "preprocess_time", "iter", "majoriter", "ptol", "objtol", "fprec",
     "callback_res", "rankupd_tol", "r", "dtype",
     # honesty / provenance fields
-    "timed_out", "inner_engine", "dual_bounds_computed",
+    "timed_out", "inner_engine", "dual_bounds_computed", "dual_passes",
 ]
 
 

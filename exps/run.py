@@ -44,7 +44,12 @@ def parse_args():
     p.add_argument("--data-root", type=str,
                    default="/root/reference/exps/data")
     p.add_argument("--output", type=str,
-                   default=os.path.join(os.path.dirname(__file__), "output"))
+                   default=os.path.join(os.path.dirname(__file__), "output",
+                                        "_live"),
+                   help="default is the gitignored _live tree so ad-hoc "
+                        "reruns never dirty committed artifacts; pass "
+                        "exps/output explicitly (and commit in the same "
+                        "change) to refresh the published results")
     p.add_argument("--skip-warmup", action="store_true")
     p.add_argument("--mu", type=float, default=0.1,
                    help="conductance volume fraction for MuConductance "
@@ -171,6 +176,21 @@ def main():
         path = os.path.join(outdir, filename + ".json")
         with open(path, "w") as f:
             json.dump(short, f, indent=4, default=float)
+        if "warmup" not in filename:
+            # dual-multiplier state for independent certification
+            # (exps/certify.py): rebuild S(y) on host in f64 and
+            # cross-check the solver's Lanczos bound with scipy eigsh
+            np.savez_compressed(
+                os.path.join(outdir, filename + "_state.npz"),
+                best_lam=np.asarray(res["lambda"], np.float64),
+                lam_last=np.asarray(res["lambda_last"], np.float64),
+                obj=res["obj"],
+                obj_feasible=(np.nan if res.get("obj_feasible") is None
+                              else res["obj_feasible"]),
+                max_dual_value=res["max_dual_value"],
+                rel_duality_gap=res["rel_duality_gap"],
+                trace_bound=tb(n, A),
+            )
         print(f"[{args.problem}/{graph}] obj={res['obj']:.6f} "
               f"pinfeas={res['primal_vio']:.2e} gap={res['rel_duality_gap']:.2e} "
               f"time={res['totaltime']:.2f}s iters={res['iter']} -> {path}")

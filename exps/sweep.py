@@ -44,7 +44,12 @@ def main():
     p.add_argument("--data-root", type=str,
                    default="/root/reference/exps/data")
     p.add_argument("--output", type=str,
-                   default=os.path.join(os.path.dirname(__file__), "output"))
+                   default=os.path.join(os.path.dirname(__file__), "output",
+                                        "_live"),
+                   help="default is the gitignored _live tree so ad-hoc "
+                        "reruns never dirty committed artifacts; pass "
+                        "exps/output explicitly (and commit in the same "
+                        "change) to refresh the published results")
     args = p.parse_args()
     setup_jax_cache()
 

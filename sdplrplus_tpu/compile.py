@@ -167,10 +167,17 @@ class CompiledProblem:
     ew_h: np.ndarray | None = None         # (n_pad, n_pad) ½ offdiag / 1 diag
     ew_C: np.ndarray | None = None         # dense C for entry mode (sparse C)
     entry_cpen: np.ndarray | None = None   # (m_e,) |C_ij|·(2 offdiag/1 diag)
-    # entry-mode certified objective applies: exactly one extra (wide,
-    # nonnegative-diagonal, b>0) constraint and no low-rank extras, so
-    # scaling X to satisfy it exactly keeps PSD (see major._certified_obj)
+    entry_csgn: np.ndarray | None = None   # (m_e,) C_ij·(2 offdiag/1 diag),
+    #                                        signed — exact ⟨C,E⟩ weight
+    # rigorous entry-mode certificate (major._certified_obj): requires
+    # exactly one extra constraint that is wide, diagonal, b_w > 0, with
+    # ⟨A_w, I/n⟩ = b_w; every entry constraint off-diagonal with b_e = 0;
+    # no low-rank extras. Then X̂ = s·RRᵀ (wide satisfied exactly, PSD),
+    # zeroing entry violations perturbs λ_min by ≤ ‖E‖_F, and mixing
+    # with the feasible point I·b_w/⟨A_w,I⟩ = I/n repairs PSD — giving a
+    # true feasible objective value.
     entry_trace_cert: bool = False
+    trC_n: float = 0.0                     # trace(C)/n (the I/n objective)
     extra_gids: Tuple[int, ...] = ()       # wide + low-rank constraint gids
     extra_wide_w: np.ndarray | None = None  # (n_exw, n_pad) diag weights
 
@@ -672,8 +679,19 @@ def compile_problem(
 
     entry_gids = entry_rows = entry_cols = None
     ew_c2 = ew_v1 = ew_h = ew_C = None
-    entry_cpen = None
+    entry_cpen = entry_csgn = None
     entry_trace_cert = False
+    # trace(C)/n: the objective of the canonical feasible point I/n used
+    # by the rigorous entry-mode certificate
+    trC = 0.0
+    for gid_c, A_c in sparse_ops:
+        if gid_c == m:
+            diag_sel = A_c.rows == A_c.cols
+            trC += float(np.sum(A_c.vals[diag_sel]))
+    for gid_c, A_c in lowrank_ops:
+        if gid_c == m:
+            trC += float(np.sum(A_c.d * np.sum(A_c.B * A_c.B, axis=0)))
+    trC_n = trC / max(n, 1)
     extra_gids: Tuple[int, ...] = ()
     extra_wide_w = None
     if entry_sel:
@@ -718,10 +736,21 @@ def compile_problem(
                     (A_c.B[ti_n] * A_c.d[None, :]) * A_c.B[tj_n], axis=1
                 )
         entry_cpen = np.abs(c_at) * np.where(ti_n == tj_n, 1.0, 2.0)
+        entry_csgn = c_at * np.where(ti_n == tj_n, 1.0, 2.0)
+        # gate for the RIGOROUS feasible-point certificate (see the
+        # CompiledProblem field docs): b_e = 0 (the ⟨C,E⟩ algebra drops
+        # the (s-1)·b_e term), entries off-diagonal (zeroing must not
+        # move the wide/trace constraint and I/n must satisfy them),
+        # and ⟨A_w, I/n⟩ = b_w so the mixing point is feasible
+        b_w0 = float(prob.b[wide_gids[0]]) if len(wide_gids) == 1 else 0.0
         entry_trace_cert = bool(
             len(wide_gids) == 1 and not lowrank_con_gids
-            and float(prob.b[wide_gids[0]]) > 0
+            and b_w0 > 0
             and bool(np.all(extra_wide_w[0] >= 0))
+            and bool(np.all(np.asarray(prob.b)[entry_gids] == 0.0))
+            and bool(np.all(ti_n != tj_n))
+            and abs(float(np.sum(extra_wide_w[0])) / n - b_w0)
+            <= 1e-12 * max(abs(b_w0), 1.0)
         )
 
     return CompiledProblem(
@@ -774,7 +803,9 @@ def compile_problem(
         ew_h=ew_h,
         ew_C=ew_C,
         entry_cpen=entry_cpen,
+        entry_csgn=entry_csgn,
         entry_trace_cert=entry_trace_cert,
+        trC_n=trC_n,
         extra_gids=extra_gids,
         extra_wide_w=extra_wide_w,
         wide_diag_w=wide_diag_w,

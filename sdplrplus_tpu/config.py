@@ -105,6 +105,15 @@ class SolverConfig:
     # ineligible), 'xla' forces the lax.while_loop inner chunk.
     inner_impl: str = "auto"
     lanczos_tol_scale: float = 1.0
+    # block-Lanczos dual bound (ops/blocklanczos.py): run the Krylov
+    # recurrence on an (n, b) block seeded with the primal factor, ONE
+    # b-lane operator pass per step (the gather SpMM is rank-independent
+    # up to 64 lanes, ops/spmm.py) with adaptive early exit on the
+    # certified residual margin — instead of q ≈ 2⌈√iter·log n⌉ rank-1
+    # passes per bound (reference: src/coreop.jl:402). 0 = auto (block
+    # path for n > 4096, where the rank-1 schedule dominated wall time);
+    # -1 = always scalar; > 0 = force this block size.
+    lanczos_block: int = 0
     # checkpoint/resume (SURVEY §5): serialize (R, λ, σ, r) at major-iter
     # boundaries; resume via utils.checkpoint.warm_start_from
     checkpoint_path: Optional[str] = None

@@ -65,6 +65,7 @@ class DeviceProblem:
     ew_h: jax.Array = None         # (n_pad, n_pad)
     ew_C: jax.Array = None         # (n_pad, n_pad) dense C (None: C low-rank)
     entry_cpen: jax.Array = None   # (m_e,) per-entry violation penalty
+    entry_csgn: jax.Array = None   # (m_e,) signed ⟨C,E⟩ weight
     extra_wide_w: jax.Array = None  # (n_exw, n_pad)
     # fast-diagonal SpMM path: wide diagonal constraints' weights as dense
     # row-aligned rows (see compile.py); (0, n_pad) when no wide constraints
@@ -112,6 +113,8 @@ class DeviceProblem:
     # entry-mode certified objective applies (compile.py; one wide
     # nonnegative-diag b>0 extra constraint, no low-rank extras)
     entry_trace_cert: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # trace(C)/n — objective of the feasible point I/n (entry certificate)
+    trC_n: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
     @property
     def dtype(self):
@@ -192,6 +195,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ew_h=f(cp.ew_h) if cp.ew_h is not None else None,
         ew_C=f(cp.ew_C) if cp.ew_C is not None else None,
         entry_cpen=f(cp.entry_cpen) if cp.entry_cpen is not None else None,
+        entry_csgn=f(cp.entry_csgn) if cp.entry_csgn is not None else None,
         extra_wide_w=(
             f(cp.extra_wide_w) if cp.extra_wide_w is not None else None
         ),
@@ -213,6 +217,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ls_eligible=bool(cp.ls_eligible),
         ls_wide_gid=int(cp.ls_wide_gid),
         entry_trace_cert=bool(cp.entry_trace_cert),
+        trC_n=float(cp.trC_n),
         extra_gids=tuple(cp.extra_gids),
         n=cp.n,
         m=cp.m,

@@ -100,6 +100,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         ew_h=row if dp.ew_h is not None else None,
         ew_C=row if dp.ew_C is not None else None,
         entry_cpen=rep if dp.entry_cpen is not None else None,
+        entry_csgn=rep if dp.entry_csgn is not None else None,
         extra_wide_w=(P(None, AXIS) if dp.extra_wide_w is not None
                       else None),
         extra_gids=dp.extra_gids,
@@ -116,6 +117,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         ls_eligible=dp.ls_eligible,
         ls_wide_gid=dp.ls_wide_gid,
         entry_trace_cert=dp.entry_trace_cert,
+        trC_n=dp.trC_n,
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,
@@ -196,7 +198,10 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
                         objtol_relative: bool = True,
                         highprecision: bool = False,
                         lbfgs_compact: bool = True,
-                        dual_safeguard: bool = True):
+                        dual_safeguard: bool = True,
+                        blk_b: int = 0, blk_kmax: int = 0,
+                        blk_margin_frac: float = 0.25,
+                        blk_k_min: int = 4):
     """shard_map-wrapped FUSED outer driver (solver/major.major_chunk_impl):
     the full major-iteration state machine — inner L-BFGS loop, Lanczos
     dual bound (row-sharded Krylov vectors, psum'd recurrences), dual
@@ -227,7 +232,7 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
         ic=ic_spec, lam=rep, sigma=rep, cur_ptol=rep, cur_gtol=rep,
         key=rep, best_lam=rep, max_dual=rep, min_gap=rep, last_gap=rep,
         rankupd_cnt=rep, majoriters=rep, converged=rep, rank_double=rep,
-        feas_count=rep,
+        feas_count=rep, dual_passes=rep,
     )
     in_specs = (specs, carry_spec) + (rep,) * 10
     out_specs = (carry_spec, rep)
@@ -238,6 +243,8 @@ def make_shardmap_major(mesh: Mesh, specs: DeviceProblem, *, k: int,
         ptol_relative=ptol_relative, objtol_relative=objtol_relative,
         q_max=q_max, highprecision=highprecision,
         lbfgs_compact=lbfgs_compact, dual_safeguard=dual_safeguard,
+        blk_b=blk_b, blk_kmax=blk_kmax,
+        blk_margin_frac=blk_margin_frac, blk_k_min=blk_k_min,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,

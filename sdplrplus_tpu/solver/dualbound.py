@@ -198,6 +198,9 @@ def dual_obj(
     highprecision: bool = False,
     safeguard: bool = True,
     R=None,
+    block: tuple | None = None,
+    margin_target: float = 0.0,
+    R_seed=None,
 ):
     """Returns (dual_value, min_eig, y_full) (reference: src/coreop.jl:376-415).
 
@@ -211,7 +214,13 @@ def dual_obj(
     constraint families, dp.ls_eligible), the bound is evaluated at the
     generalized least-squares multiplier y = argmin ‖S(y)R‖_F (then
     max −⟨y,b⟩ among minimizers) instead of the AL ascent iterate,
-    mirroring the fused driver (solver/major.py dual_bound)."""
+    mirroring the fused driver (solver/major.py dual_bound).
+
+    ``block`` = (b, k_max) switches to the block-Lanczos kernel
+    (ops/blocklanczos.py): ONE b-lane operator pass per step, the start
+    block seeded with ``R_seed`` (or ``R``), early exit once the
+    certified margin drops below ``margin_target`` (λ units). The block
+    path is always residual-safeguarded."""
     if R is not None and getattr(dp, "ew_c2", None) is not None:
         from ..ops.entrymask import ls_dual_entry
 
@@ -219,7 +228,8 @@ def dual_obj(
         return dual_obj(dp, -y_ls_head, jnp.zeros_like(sigma),
                         jnp.zeros_like(vio_raw), trace_bound, iter_count,
                         key, highprecision=highprecision,
-                        safeguard=safeguard)
+                        safeguard=safeguard, block=block,
+                        margin_target=margin_target, R_seed=R)
     if R is not None and getattr(dp, "ls_eligible", False):
         y_al = -jnp.minimum(dp.lam_ub, lam - sigma * vio_raw[: dp.m])
         y_ls_head = ls_dual_head(dp, R, y_fallback=y_al)
@@ -227,8 +237,23 @@ def dual_obj(
         return dual_obj(dp, -y_ls_head, jnp.zeros_like(sigma),
                         jnp.zeros_like(vio_raw), trace_bound, iter_count,
                         key, highprecision=highprecision,
-                        safeguard=safeguard)
+                        safeguard=safeguard, block=block,
+                        margin_target=margin_target, R_seed=R)
     y_full, s_tri, S_dense = _y_and_s(dp, lam, sigma, vio_raw)
+
+    if block is not None and block[0] > 0:
+        from ..ops.blocklanczos import block_lanczos_min_eig
+
+        k_min = min(max(4, int(np.ceil(np.log2(max(dp.n, 2))))),
+                    int(block[1]))
+        theta, margin, _ = block_lanczos_min_eig(
+            dp, s_tri, y_full, key, R_seed, margin_target,
+            jnp.asarray(k_min, jnp.int32), b=int(block[0]),
+            k_max=int(block[1]), S_dense=S_dense,
+        )
+        min_eig = float(theta) - float(margin)
+        yb = float(jnp.dot(y_full[: dp.m], dp.b))
+        return -yb + float(trace_bound) * min(min_eig, 0.0), min_eig, y_full
 
     if highprecision:
         q_max = bucket_q_max(min(max(100, 2 * lanczos_q(iter_count, dp.n)), dp.n))
@@ -244,10 +269,21 @@ def dual_obj(
         )
 
     if safeguard:
-        # same device algorithm (Sturm bisection + inverse iteration) the
-        # fused driver uses, so both drivers report identical duals
-        theta_d, margin_d = _cert_eig(alpha, beta, k_eff)
-        min_eig = float(theta_d) - float(margin_d)
+        if q_max > 1024:
+            # host fallback past the device Sturm kernel's proven range
+            # (the 2048 bucket reproducibly faulted the remote TPU
+            # worker): the (q,) α/β arrays are already host-bound here
+            # and scipy's eigh_tridiagonal is exact in f64
+            theta_h, margin_h = tridiag_min_eig_resid(
+                np.asarray(alpha), np.asarray(beta), int(k_eff)
+            )
+            min_eig = theta_h - margin_h
+        else:
+            # same device algorithm (Sturm bisection + inverse iteration)
+            # the fused driver uses, so both drivers report identical
+            # duals
+            theta_d, margin_d = _cert_eig(alpha, beta, k_eff)
+            min_eig = float(theta_d) - float(margin_d)
     else:
         min_eig = tridiag_min_eig(
             np.asarray(alpha), np.asarray(beta), int(k_eff)

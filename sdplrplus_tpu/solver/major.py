@@ -66,6 +66,8 @@ class MajorCarry(NamedTuple):
     converged: jax.Array    # bool
     rank_double: jax.Array  # bool
     feas_count: jax.Array   # int32 feasible boundaries (dual bounds computed)
+    dual_passes: jax.Array  # int32 operator passes spent on dual bounds
+    #                         (MEASURED — feeds the dual-time attribution)
 
 
 def _vio_norm(dp: DeviceProblem, vio_raw, pscale):
@@ -98,6 +100,10 @@ def major_chunk_impl(
     highprecision: bool,
     dual_safeguard: bool = True,
     lbfgs_compact: bool = True,
+    blk_b: int = 0,       # block-Lanczos dual bound (ops/blocklanczos.py):
+    blk_kmax: int = 0,    # block size / max block steps; 0 = scalar path
+    blk_margin_frac: float = 0.25,  # stop when tb·margin ≤ frac·objtol·|obj|
+    blk_k_min: int = 4,   # minimum Krylov depth (block steps)
     mega_spec=None,       # static ops/megakernel.MegaSpec: inner loop runs
     mega_r: int = 0,      # as ONE Pallas megakernel call per activation
     mega_interpret: bool = False,
@@ -175,7 +181,8 @@ def major_chunk_impl(
     def _bound_for(c: MajorCarry, y_head, sub):
         """Safeguarded Lanczos dual value for one multiplier estimate
         (reference: src/coreop.jl:376-415), entirely on device via Sturm
-        bisection for the tridiagonal eig."""
+        bisection for the tridiagonal eig. Returns (dual, passes) where
+        ``passes`` is the number of operator applications spent."""
         y_full = jnp.concatenate([y_head, jnp.ones((1,), dtype=dtype)])
         S_dense = None
         if getattr(dp, "ew_c2", None) is not None:
@@ -188,6 +195,27 @@ def major_chunk_impl(
             s_tri = jnp.zeros((1,), dtype=dtype)
         else:
             s_tri = assemble_s_tri(dp, y_full)
+        if blk_b > 0:
+            # block-Lanczos path (ops/blocklanczos.py): R-seeded start
+            # block, one b-lane operator pass per step, adaptive early
+            # exit on the certified residual margin. Always safeguarded.
+            from ..ops.blocklanczos import block_lanczos_min_eig_impl
+
+            obj_now = jnp.abs(c.ic.vio_raw[m])
+            denom_est = obj_now if objtol_relative else jnp.ones((), dtype)
+            mt = (
+                blk_margin_frac * objtol
+                * jnp.maximum(denom_est, jnp.asarray(1e-8, dtype))
+                / jnp.maximum(trace_bound, jnp.asarray(1.0, dtype))
+            )
+            theta, res_margin, k_used = block_lanczos_min_eig_impl(
+                dp, s_tri, y_full, sub, c.ic.R, mt,
+                jnp.asarray(blk_k_min, jnp.int32),
+                b=blk_b, k_max=blk_kmax, S_dense=S_dense,
+            )
+            min_eig = theta - res_margin
+            yb = jnp.dot(y_full[:m], dp.b)
+            return -yb + trace_bound * jnp.minimum(min_eig, 0.0), k_used
         if highprecision:
             alpha, beta, k_eff = lanczos_alpha_beta_reorth_impl(
                 dp, s_tri, y_full, sub, q_max=q_max, S_dense=S_dense
@@ -212,7 +240,7 @@ def major_chunk_impl(
         else:
             min_eig = tridiag_min_eig_device(alpha, beta, k_eff)
         yb = jnp.dot(y_full[:m], dp.b)
-        return -yb + trace_bound * jnp.minimum(min_eig, 0.0)
+        return -yb + trace_bound * jnp.minimum(min_eig, 0.0), k_eff
 
     def dual_bound(c: MajorCarry, sub):
         """Dual value at the least-squares multiplier on LS-eligible
@@ -239,7 +267,8 @@ def major_chunk_impl(
             CR = c.ic.CX if (use_cx and c.ic.CX is not None) else None
             y_ls = ls_dual_head(dp, c.ic.R, CR, y_fallback=y_al)
         else:
-            return _bound_for(c, y_al, sub), y_al
+            d_al, p_al = _bound_for(c, y_al, sub)
+            return d_al, p_al, y_al
         # alternate LS / AL multipliers across feasible boundaries: ONE
         # Lanczos per boundary (program stays reference-sized) while
         # max_dual accumulates the better of both estimates — the LS
@@ -249,7 +278,8 @@ def major_chunk_impl(
         y = jax.tree_util.tree_map(
             lambda a, b: jnp.where(c.feas_count % 2 == 0, a, b), y_ls, y_al
         )
-        return _bound_for(c, y, sub), y
+        d, p = _bound_for(c, y, sub)
+        return d, p, y
 
     def feasible_branch(c: MajorCarry, vio_norm):
         """reference: src/sdplr.jl:310-364. The Lanczos dual bound only
@@ -265,7 +295,7 @@ def major_chunk_impl(
         strict0 = vio_norm <= ptol_final
 
         def with_bound(c):
-            dual, y_head = dual_bound(c, sub)
+            dual, passes, y_head = dual_bound(c, sub)
             # `dual > max_dual` (not jnp.maximum) so a NaN dual — e.g. a
             # pathological multiplier state — never poisons the running best
             better = dual > c.max_dual
@@ -274,10 +304,12 @@ def major_chunk_impl(
                 jnp.where(better, dual, c.max_dual),
                 c.feas_count + 1,
                 _certified_obj(c),
+                c.dual_passes + passes,
             )
 
         def skip_bound(c):
-            return c.best_lam, c.max_dual, c.feas_count, c.ic.vio_raw[m]
+            return (c.best_lam, c.max_dual, c.feas_count, c.ic.vio_raw[m],
+                    c.dual_passes)
 
         def _certified_obj(c):
             """Objective used in the termination gap. On identity-diagonal
@@ -290,22 +322,31 @@ def major_chunk_impl(
             operator pass per strict boundary — so the gap the solver
             terminates on IS the certificate it reports."""
             if getattr(dp, "entry_trace_cert", False):
-                # entry-mode (Lovász-θ-family) conservative certificate:
-                # scale X to satisfy the trace-like wide constraint
-                # exactly (s = b_w/(b_w+v_w) > 0 keeps PSD), then charge
-                # every remaining entry violation its worst-case
-                # objective weight |C_ij|·(2 offdiag / 1 diag). Kills the
-                # undershoot that let a pinfeas≈1e-2 iterate report an
-                # objective 4.6% below θ with a "tight" gap (see
-                # exps/output/rank_mode_study_LovaszTheta.json).
+                # entry-mode (Lovász-θ-family) RIGOROUS feasible-point
+                # certificate (compile.py gate: b_e = 0, entries
+                # off-diagonal, ⟨A_w, I/n⟩ = b_w > 0):
+                #   X̂ = s·RRᵀ with s = b_w/(b_w+v_w) ≥ 0 satisfies the
+                #   wide constraint exactly and stays PSD; zeroing the
+                #   entry violations (E_ij = s·v_e, symmetric) moves
+                #   λ_min by at most δ = ‖E‖_F = s·√(2Σv_e²); mixing
+                #   X̃ = (1−t)(X̂−E) + t·(I/n) with t = nδ/(1+nδ)
+                #   restores PSD, keeps every constraint exact, and has
+                #   the exactly-computable objective below — a true
+                #   upper bound on p*. Degenerate wide value (denom ≤ 0)
+                #   falls back to the feasible point I/n itself.
                 gid_w = dp.extra_gids[0]
                 b_w = dp.b[gid_w]
                 v_w = c.ic.vio_raw[gid_w]
                 denom_w = b_w + v_w
-                s = jnp.where(denom_w > 0, b_w / denom_w, 1.0)
+                s = jnp.where(denom_w > 0, b_w / denom_w, 0.0)
                 ve = c.ic.vio_raw[dp.entry_gids]
-                pen = jnp.sum(dp.entry_cpen * jnp.abs(ve))
-                return s * c.ic.vio_raw[m] + jnp.abs(s) * pen
+                cE = s * jnp.sum(dp.entry_csgn * ve)      # ⟨C, E⟩ exact
+                delta = s * jnp.sqrt(2.0 * jnp.sum(ve * ve))
+                t_mix = dp.n * delta / (1.0 + dp.n * delta)
+                trC_n = jnp.asarray(dp.trC_n, dtype)
+                cert = (1.0 - t_mix) * (s * c.ic.vio_raw[m] - cE) \
+                    + t_mix * trC_n
+                return jnp.where(denom_w > 0, cert, trC_n)
             if not getattr(dp, "diag_identity", False):
                 return c.ic.vio_raw[m]
             from ..ops.forward import _full
@@ -341,7 +382,7 @@ def major_chunk_impl(
                 bad = lax.psum(bad.astype(jnp.int32), dp.spmd_axis) > 0
             return jnp.where(bad, c.ic.vio_raw[m], obj_cert)
 
-        best_lam, max_dual, feas_count, obj = lax.cond(
+        best_lam, max_dual, feas_count, obj, dual_passes = lax.cond(
             strict0, with_bound, skip_bound, c
         )
         if objtol_relative:
@@ -375,7 +416,7 @@ def major_chunk_impl(
             best_lam=best_lam, max_dual=max_dual, min_gap=min_gap,
             last_gap=gap, rankupd_cnt=cnt, converged=conv,
             rank_double=rank_double,
-            feas_count=feas_count,
+            feas_count=feas_count, dual_passes=dual_passes,
         )
 
     def infeasible_branch(c: MajorCarry, vio_norm):
@@ -443,6 +484,7 @@ major_chunk = functools.partial(
         "k", "use_armijo", "gtol_relative", "ptol_relative",
         "objtol_relative", "q_max", "highprecision", "dual_safeguard",
         "lbfgs_compact",
+        "blk_b", "blk_kmax", "blk_margin_frac", "blk_k_min",
         "mega_spec", "mega_r", "mega_interpret",
     ),
 )(major_chunk_impl)
@@ -496,4 +538,5 @@ def init_major_carry(dp: DeviceProblem, R, lam, sigma, cur_ptol, cur_gtol,
         converged=jnp.zeros((), bool),
         rank_double=jnp.zeros((), bool),
         feas_count=jnp.zeros((), jnp.int32),
+        dual_passes=jnp.zeros((), jnp.int32),
     )

@@ -125,19 +125,24 @@ def _feasible_obj(prob, dp, R_np: np.ndarray, vio_raw=None):
     certificate itself is valid. None when no closed-form projection
     applies (non-diagonal constraint families)."""
     if getattr(dp, "entry_trace_cert", False) and vio_raw is not None:
-        # entry-mode conservative certificate, mirroring the fused
-        # driver's termination objective (solver/major._certified_obj):
-        # trace-scale + worst-case entry-violation penalty
+        # entry-mode RIGOROUS feasible-point certificate, mirroring the
+        # fused driver's termination objective (major._certified_obj):
+        # wide-scale + zero entry violations + mix with I/n charging the
+        # exact λ_min repair (see compile.py entry_trace_cert gate docs)
         v = np.asarray(vio_raw, dtype=np.float64)
         gid_w = int(dp.extra_gids[0])
         b_w = float(np.asarray(dp.b)[gid_w])
+        n_ = dp.n
+        trC_n = float(dp.trC_n)
         denom = b_w + v[gid_w]
-        if denom > 0:
-            s = b_w / denom
-            ve = v[np.asarray(dp.entry_gids)]
-            pen = float(np.sum(np.asarray(dp.entry_cpen) * np.abs(ve)))
-            return s * float(v[dp.m]) + abs(s) * pen
-        return None
+        if denom <= 0:
+            return trC_n  # the feasible point I/n itself
+        s = b_w / denom
+        ve = v[np.asarray(dp.entry_gids)]
+        cE = s * float(np.sum(np.asarray(dp.entry_csgn) * ve))
+        delta = s * float(np.sqrt(2.0 * np.sum(ve * ve)))
+        t_mix = n_ * delta / (1.0 + n_ * delta)
+        return (1.0 - t_mix) * (s * float(v[dp.m]) - cE) + t_mix * trC_n
     if not getattr(dp, "diag_identity", False):
         return None
     b = np.asarray(dp.b, dtype=np.float64)
@@ -316,24 +321,42 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
                 dp, k=k, gtol_relative=gtol_rel, ptol_relative=ptol_rel
             )
 
+    def blk_for(r_now: int) -> tuple:
+        """(b, k_max) for the block-Lanczos dual bound, or (0, 0) for the
+        scalar path. Auto: block for n > 4096, where the rank-1 Lanczos
+        schedule was measured at 54-57% of total wall time (VERDICT r4);
+        below that the projected small-eigensolve overhead rivals the
+        SpMM passes and the scalar path keeps the tiny-problem tests'
+        f64 exactness."""
+        if config.lanczos_block < 0 or config.eigval_highprecision:
+            return 0, 0
+        if config.lanczos_block == 0 and n <= 4096:
+            return 0, 0
+        from ..ops.blocklanczos import block_sizes
+
+        return block_sizes(n, r_now, max(config.lanczos_block, 0))
+
     # shard_map runners for the SPMD path, cached per Lanczos bucket
     # (parallel/shardmap.py make_shardmap_major)
     spmd_runners: dict = {}
 
-    def spmd_runner(q_max_now: int):
-        if q_max_now not in spmd_runners:
+    def spmd_runner(q_max_now: int, blk, margin_frac: float, k_min: int):
+        key_ = (q_max_now, blk, margin_frac, k_min)
+        if key_ not in spmd_runners:
             from ..parallel.shardmap import make_shardmap_major
 
             mesh_, _, specs_ = spmd
-            spmd_runners[q_max_now] = make_shardmap_major(
+            spmd_runners[key_] = make_shardmap_major(
                 mesh_, specs_, k=k, use_armijo=use_armijo,
                 q_max=q_max_now, gtol_relative=gtol_rel,
                 ptol_relative=ptol_rel, objtol_relative=objtol_rel,
                 highprecision=bool(config.eigval_highprecision),
                 lbfgs_compact=config.lbfgs_impl == "compact",
                 dual_safeguard=bool(config.dual_safeguard),
+                blk_b=blk[0], blk_kmax=blk[1],
+                blk_margin_frac=margin_frac, blk_k_min=k_min,
             )
-        return spmd_runners[q_max_now]
+        return spmd_runners[key_]
 
     def mega_kwargs(r_now: int):
         if mega_meta is None or not megakernel_eligible(
@@ -411,9 +434,19 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         # 1024-iteration ceiling: the device tridiagonal eigensolve at a
         # 2048 bucket reproducibly faults the remote TPU worker, and a
         # 1024-step unreorthogonalized f32 Lanczos is past its useful
-        # accuracy anyway
+        # accuracy anyway. The block-Lanczos path (blk below) makes the
+        # ceiling moot at scale: its projected subspace never exceeds
+        # 512 columns by construction (ops/blocklanczos.block_sizes).
         q_need = min(q_need, max(n, 1), 1024)
         q_max = bucket_q_max(q_need)
+        blk = blk_for(r)
+        # minimum Krylov depth ~ log2(n) (the degree-8 failure mode:
+        # a plateaued θ at tiny margin before λ_min's eigenvector was
+        # discovered at all); gap-stall escalation (q_boost) demands a
+        # deeper minimum and a tighter margin before the exit may fire
+        blk_margin_frac = 0.25 / q_boost
+        k_min_base = max(4, int(np.ceil(np.log2(max(n, 2)))))
+        blk_k_min = min(k_min_base * q_boost, blk[1]) if blk[0] else 4
 
         # cap major boundaries per dispatch too: each strict boundary runs
         # a q-matvec Lanczos (~10 s at n=100k), and several in one
@@ -435,9 +468,9 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         )
         t_dispatch = time.time()
         if spmd is not None:
-            carry, vio_norm_d = spmd_runner(q_max)(
-                spmd[1], carry, *chunk_args
-            )
+            carry, vio_norm_d = spmd_runner(
+                q_max, blk, blk_margin_frac, blk_k_min
+            )(spmd[1], carry, *chunk_args)
         else:
             mkw, mdata = mega_kwargs(r)
             carry, vio_norm_d = major_chunk(
@@ -448,6 +481,8 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
                 highprecision=bool(config.eigval_highprecision),
                 dual_safeguard=bool(config.dual_safeguard),
                 lbfgs_compact=config.lbfgs_impl == "compact",
+                blk_b=blk[0], blk_kmax=blk[1],
+                blk_margin_frac=blk_margin_frac, blk_k_min=blk_k_min,
                 **mkw,
             )
 
@@ -618,38 +653,73 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     vio_raw = carry.ic.vio_raw
     grad_norm = float(carry.ic.grad_norm)
 
+    max_dual_f = float(carry.max_dual)
+    best_lam_np = np.asarray(carry.best_lam, dtype=np.float64)
+    feas = int(carry.feas_count)
+    extra_dual_passes = 0
+    if feas == 0 and config.objtol != np.inf and m > 0:
+        # the run never reached a strict feasibility boundary (timeout /
+        # maxiter / stall): still report a (weak) dual bound from the
+        # final iterate, like the reference's loose-boundary bounds
+        # (round-4 advisor fix — a timed-out artifact without any lower
+        # bound has a meaningless rel_duality_gap)
+        key2, sub2 = jax.random.split(carry.key)
+        blk_f = blk_for(r)
+        obj_now = abs(float(vio_raw[m]))
+        mt_f = 0.25 * config.objtol * (
+            max(obj_now, 1e-8) if objtol_rel else 1.0
+        ) / max(config.prior_trace_bound, 1.0)
+        try:
+            dv, _, y_d = dual_obj(
+                dp, lam, carry.sigma, vio_raw, config.prior_trace_bound,
+                max(base_total + int(carry.ic.steps), 1), sub2,
+                highprecision=config.eigval_highprecision,
+                safeguard=config.dual_safeguard,
+                block=blk_f if blk_f[0] else None,
+                margin_target=mt_f, R_seed=R,
+            )
+            if float(dv) > max_dual_f:
+                max_dual_f = float(dv)
+                best_lam_np = -np.asarray(y_d[:m], dtype=np.float64)
+            feas = 1
+            extra_dual_passes = blk_f[1] if blk_f[0] else 1024
+        except Exception as e:  # never let the fallback kill the result
+            print(f"Warning: fallback dual bound failed: {e}")
+
     # ---- dual-time attribution (BASELINE protocol: totaltime = preprocess
     # + primal + dual, reference src/sdplr.jl:414-425). The fused driver
     # computes its dual bounds inside the device state machine, so the
-    # split is reconstructed from a work model with ZERO extra dispatches.
-    # The unit costs are ENGINE-AWARE:
+    # split is reconstructed with ZERO extra dispatches from the MEASURED
+    # operator-pass count (MajorCarry.dual_passes — every Lanczos/block
+    # step the device actually executed) and an engine-aware per-pass
+    # unit cost:
     #   * gather-bound engines (fast-diag / general ELL SpMM): one
-    #     operator pass costs ~nnz × 3 ns regardless of the lane count r
-    #     (ops/spmm.py), so a rank-1 Lanczos matvec costs the SAME as a
-    #     rank-r SpMM — dual = feas·q passes vs primal = passes-per-iter
-    #     × steps (1 for fast-diag's single-SpMM iteration, 3 for the
-    #     general engine's two line-search products + adjoint).
+    #     operator pass costs ~nnz × 3 ns regardless of the lane count
+    #     (ops/spmm.py) — a 1-lane or b-lane Krylov pass costs the SAME
+    #     as a rank-r SpMM. primal = passes-per-iter × steps (1 for
+    #     fast-diag's single-SpMM iteration, 3 for the general engine's
+    #     two line-search products + adjoint).
     #   * matmul-bound engines (dense-MXU / megakernel / entry-mask):
-    #     cost ∝ r, so an inner iteration costs ~3·r units and a Lanczos
-    #     matvec 1 unit.
-    # Validated against the host driver's MEASURED split (exps/ab_dualtime
-    # A/B, docs/DESIGN.md). Clamped to [0, totaltime] by construction.
+    #     cost ∝ lanes, so an inner iteration costs ~3·r units and a
+    #     Krylov pass carries its lane count (block size b or 1).
+    # Only the per-pass cost-equivalence is modeled (the A/B in
+    # exps/ab_dualtime put its error at ~2x on mixed workloads); the
+    # pass counts themselves are exact. Clamped to [0, totaltime].
     dual_time = 0.0
-    feas = int(carry.feas_count)
     total_steps = base_total + int(carry.ic.steps)
-    if feas > 0 and total_steps > 0:
-        from ..ops.lanczos import lanczos_q
-
-        # same 1024 ceiling the driver applies to the real q (see the
-        # q_need clamp in the dispatch loop)
-        q_final = min(lanczos_q(max(total_steps, 1), n), max(n, 1), 1024)
-        dual_units = float(feas) * float(q_final)
+    dual_passes = int(carry.dual_passes) + extra_dual_passes
+    if dual_passes > 0 and total_steps > 0:
         engine = _engine_name(dp, bool(mega_kwargs(r)[0]))
+        blk_now = blk_for(r)
+        lanes = max(blk_now[0], 1)
         if engine == "fast-diag-spmm":
+            dual_units = float(dual_passes)
             primal_units = 1.0 * float(total_steps)
         elif engine == "xla-general":
+            dual_units = float(dual_passes)
             primal_units = 3.0 * float(total_steps)
         else:  # matmul-bound: dense-MXU, megakernel, entry-mask
+            dual_units = float(dual_passes) * float(lanes)
             primal_units = 3.0 * float(max(r, 1)) * float(total_steps)
         frac = dual_units / max(dual_units + primal_units, 1e-30)
         dual_time = min(max(frac * totaltime, 0.0), totaltime)
@@ -667,12 +737,12 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
     R_np = np.asarray(R[:n], dtype=np.float64)
     obj_feas = _feasible_obj(prob, dp, R_np, np.asarray(vio_raw))
     final_gap = _final_gap(
-        obj if obj_feas is None else obj_feas, float(carry.max_dual), feas
+        obj if obj_feas is None else obj_feas, max_dual_f, feas
     )
     return {
         "R": R_np,
         "Rt": R_np.T,
-        "lambda": np.asarray(carry.best_lam, dtype=np.float64),
+        "lambda": best_lam_np,
         "lambda_last": np.asarray(carry.lam, dtype=np.float64),
         "R0": R0_np,
         "Rt0": R0_np.T,
@@ -681,20 +751,21 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         "grad_norm": grad_norm,
         "primal_vio": vio_norm,
         "obj": obj,
-        "max_dual_value": float(carry.max_dual),
+        "max_dual_value": max_dual_f,
         "min_duality_gap": min_gap,
         "rel_duality_gap": final_gap,
         "obj_feasible": obj_feas,
         "duality_gap": float(carry.last_gap),
         "totaltime": totaltime,
         "dual_time": dual_time,
-        "dual_time_estimated": True,  # per-bound cost × feas_count
+        "dual_time_estimated": True,  # measured passes × modeled unit cost
+        "dual_passes": dual_passes,
         "dual_lanczos_time": dual_time,
         "primaltime": totaltime - dual_time,
         "DIMACS_time": dimacs_time,
         "iter": base_total + int(carry.ic.steps),
         "majoriter": base_major + int(carry.majoriters),
-        "dual_bounds_computed": int(carry.feas_count),
+        "dual_bounds_computed": feas,
         "DIMACS_errs": np.asarray(DIMACS_errs),
         "ptol": config.ptol,
         "objtol": config.objtol,
@@ -871,12 +942,26 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
                 # strict boundary only, mirroring the fused driver's
                 # gating (solver/major.py feasible_branch)
                 key, sub = jax.random.split(key)
+                blk = (0, 0)
+                if (config.lanczos_block >= 0
+                        and not config.eigval_highprecision
+                        and (config.lanczos_block > 0 or n > 4096)):
+                    from ..ops.blocklanczos import block_sizes
+
+                    blk = block_sizes(n, r, max(config.lanczos_block, 0))
+                obj_now = abs(float(vio_raw[m]))
+                mt = 0.25 * config.objtol * (
+                    max(obj_now, 1e-8)
+                    if config.objtol_mode == "relative" else 1.0
+                ) / max(config.prior_trace_bound, 1.0)
                 dual_value, _, y_dual = dual_obj(
                     dp, lam, sigma, vio_raw, config.prior_trace_bound,
                     max(total_iter, 1), sub,
                     highprecision=config.eigval_highprecision,
                     safeguard=config.dual_safeguard,
                     R=R if dual_count % 2 == 0 else None,
+                    block=blk if blk[0] else None,
+                    margin_target=mt, R_seed=R,
                 )
                 dual_count += 1
             else:
@@ -886,7 +971,18 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             if dual_value > max_dual_value:
                 best_lam = -np.asarray(y_dual[:m])
                 max_dual_value = dual_value
+            # termination objective = the feasibility-projected /
+            # entry-certified value, matching the fused driver's
+            # major._certified_obj — so the gap the host driver stops on
+            # IS the certificate it reports (round-4 advisor fix)
             obj = float(vio_raw[m])
+            if vio_norm <= config.ptol:
+                obj_cert = _feasible_obj(
+                    prob, dp, np.asarray(R[:n], dtype=np.float64),
+                    np.asarray(vio_raw),
+                )
+                if obj_cert is not None and np.isfinite(obj_cert):
+                    obj = float(obj_cert)
             if config.objtol_mode == "relative":
                 denom = min(abs(obj), abs(max_dual_value))
                 duality_gap = (obj - max_dual_value) / denom if denom > 0 else np.inf
