@@ -83,6 +83,23 @@ def synthetic_graph(n: int, deg: int, seed: int = 1):
     return A.maximum(A.T)
 
 
+def synthetic_local_graph(n: int, deg: int, window: int, seed: int = 1):
+    """Seeded ring-local random graph: each node draws ``deg`` neighbors
+    within ±window. The locality structure of road networks / meshes /
+    BFS-reordered graphs — the regime where the halo-exchange SpMM
+    (ops/spmm.support) replaces the O(n·r) all-gather."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), deg)
+    offs = rng.integers(1, window + 1, n * deg) * rng.choice(
+        [-1, 1], n * deg
+    )
+    cols = (rows + offs) % n
+    A = sp.csr_matrix((np.ones(n * deg), (rows, cols)), shape=(n, n))
+    return A.maximum(A.T)
+
+
 def main():
     args = parse_args()
     setup_jax_cache()

@@ -89,10 +89,12 @@ def apply_S(
             BtX = _psum(_hp_mm(t.B.T, X), dp)
             out = out + y_full[t.gid] * _hp_mm(t.B, t.d[:, None] * BtX)
         return out
-    from .spmm import spmm_contract, spmm_gather, spmm_tier2, tier2_offset
+    from .spmm import (
+        spmm_contract, spmm_gather, spmm_tier2, support, tier2_offset,
+    )
 
     n_loc, W = dp.ell_cols.shape
-    X_full = _full(dp, X)
+    X_full = support(dp, X)
     Xg = spmm_gather(X_full, dp.ell_cols)
     if dp.all_cons_diagonal:
         out = y_full[dp.m] * spmm_contract(dp.cell_val, Xg)

@@ -80,6 +80,10 @@ class DeviceProblem:
     ls_gid_neg: jax.Array = None    # (n_pad,)
     ls_v_pos: jax.Array = None      # (n_pad,)
     ls_v_neg: jax.Array = None      # (n_pad,)
+    # halo-exchange SpMM (ops/spmm.support): per-peer send row lists,
+    # (nd, nd-1, H) row-sharded; non-None ⇒ ell_cols/ell2_cols are
+    # remapped into the [X_local; halo] layout (parallel/shardmap.py)
+    halo_send: jax.Array = None
 
     # -- static metadata ------------------------------------------------------
     n: int = dataclasses.field(metadata=dict(static=True), default=0)

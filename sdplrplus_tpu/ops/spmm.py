@@ -41,6 +41,33 @@ import jax.numpy as jnp
 from .device import DeviceProblem
 
 
+def support(dp: DeviceProblem, X: jax.Array) -> jax.Array:
+    """The row support the ELL column indices of ``dp`` address.
+
+    Single-device: X itself (global indices). Under shard_map without
+    halo metadata: the all-gathered full factor (O(n·r) comms per
+    pass). With halo metadata (dp.halo_send set; compile.py halo
+    section): [X_local; halo], where the halo carries ONLY the
+    precomputed off-shard rows this shard's pattern references —
+    exchanged as nd−1 ``lax.ppermute`` ring shifts of (H, r) blocks, so
+    comms drop from (n_pad − n_loc)·r to (nd−1)·H·r words per pass.
+    ell_cols/ell2_cols are remapped at compile time to address this
+    layout, so the gather kernels are unchanged."""
+    from .forward import _full
+
+    hs = getattr(dp, "halo_send", None)
+    if hs is None or dp.spmd_axis is None:
+        return _full(dp, X)
+    send = hs[0]                      # (nd-1, H): this shard's lists
+    nd = send.shape[0] + 1
+    bufs = [X]
+    for t in range(1, nd):
+        sb = jnp.take(X, send[t - 1], axis=0)
+        perm = [(s, (s + t) % nd) for s in range(nd)]
+        bufs.append(jax.lax.ppermute(sb, dp.spmd_axis, perm))
+    return jnp.concatenate(bufs, axis=0)
+
+
 def tier2_offset(dp: DeviceProblem):
     """Offset localizing tier-2 global target rows under shard_map:
     axis_index × local-row-count (0 single-device)."""
@@ -106,14 +133,16 @@ def spmm_ell(
     return out
 
 
-def spmm_C(dp: DeviceProblem, X_full: jax.Array) -> jax.Array:
+def spmm_C(dp: DeviceProblem, X: jax.Array) -> jax.Array:
     """C_sparse @ X via the compiled static layout (cell_val carries C's
     values aligned to the ELL slots of the full symmetric aggregate
     pattern; zeros where only constraints have entries).
 
     Only the *sparse part* of C — low-rank C terms are applied by the
-    caller as MXU matmuls. ``X_full`` must already carry the full row
-    support; rows of the result align with dp.ell_cols' (local) rows."""
+    caller as MXU matmuls. ``X`` is the device-local factor; the row
+    support is assembled internally (all-gather or halo exchange,
+    ``support``); rows of the result align with dp.ell_cols' rows."""
+    X_full = support(dp, X)
     out = spmm_contract(dp.cell_val, spmm_gather(X_full, dp.ell_cols))
     if dp.has_ell2:
         out = spmm_tier2(out, X_full, dp.ell2_rows, dp.ell2_cols,

@@ -37,12 +37,19 @@ from ..solver.lbfgs import LBFGSState
 AXIS = "x"
 
 
-def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
+def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh,
+                     halo: Optional[bool] = None) -> DeviceProblem:
     """Device-local problem shards + the matching PartitionSpec pytree.
 
     Layout: nnz arrays (aggregate pattern, C values) and row-blocked
     arrays (ELL, diag map, low-rank B) sharded; constraint-level index
     maps and the m-length vectors replicated. Returns (dp_spmd, specs).
+
+    ``halo``: None picks halo-exchange vs all-gather for the SpMM row
+    support by comms volume (halo wins when the per-shard off-shard
+    support (nd−1)·H is < 75% of the all-gather volume n_pad − n_loc —
+    compile.py halo section); True forces halo (error if the compile
+    carries no metadata), False forces all-gather.
     """
     nd = int(np.prod(mesh.devices.shape))
     if cp.ell2_rows.shape[0] > 0 and cp.ell2_shards != nd:
@@ -57,6 +64,32 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
 
     dp = to_device(cp, dtype)
     dp = dataclasses.replace(dp, spmd_axis=AXIS)
+
+    use_halo = False
+    if halo is not False and cp.halo_send is not None:
+        if cp.halo_send.shape[0] != nd:
+            if halo:
+                raise ValueError(
+                    f"halo metadata built for {cp.halo_send.shape[0]} "
+                    f"shards, mesh has {nd}"
+                )
+        else:
+            n_loc = cp.n_pad // nd
+            halo_vol = (nd - 1) * cp.halo_H
+            ag_vol = cp.n_pad - n_loc
+            use_halo = bool(halo) or halo_vol < 0.75 * ag_vol
+    elif halo:
+        raise ValueError("halo=True but the compile carries no halo "
+                         "metadata (compile_problem(..., n_shards=nd))")
+    if use_halo:
+        import jax.numpy as jnp
+
+        dp = dataclasses.replace(
+            dp,
+            ell_cols=jnp.asarray(cp.halo_ell_cols, jnp.int32),
+            ell2_cols=jnp.asarray(cp.halo_ell2_cols, jnp.int32),
+            halo_send=jnp.asarray(cp.halo_send, jnp.int32),
+        )
 
     nnz = P(AXIS)
     row = P(AXIS, None)
@@ -82,6 +115,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh) -> DeviceProblem:
         ell2_rows=P(AXIS),
         ell2_cols=row,
         ell2_tri=row,
+        halo_send=P(AXIS, None, None) if use_halo else None,
         b=rep,
         lam_ub=rep,
         vio_lb=rep,

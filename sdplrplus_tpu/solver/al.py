@@ -72,7 +72,7 @@ def al_value_grad_cx(dp: DeviceProblem, R, lam, sigma,
     from ..ops.spmm import spmm_C
 
     m = dp.m
-    CX = spmm_C(dp, _full(dp, R))
+    CX = spmm_C(dp, R)
     av = A_uu_cx(dp, R, CX)
     obj = av[m]
     v = av[:m] - dp.b

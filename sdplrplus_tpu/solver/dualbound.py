@@ -88,7 +88,7 @@ def ls_dual_head(dp: DeviceProblem, R, CR=None, y_fallback=None):
     m = dp.m
     dtype = R.dtype
     if CR is None:
-        CR = spmm_C(dp, _full(dp, R))
+        CR = spmm_C(dp, R)
     lr_cons = []
     for t in dp.lowrank:
         BtR = hp(t.B.T, R)

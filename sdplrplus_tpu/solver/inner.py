@@ -93,7 +93,7 @@ def inner_step(
     if use_cx:
         # --- fast-diagonal engine: the iteration's single gather pass ----
         with jax.named_scope("spmm_CD"):
-            CD = spmm_C(dp, _full(dp, direction))
+            CD = spmm_C(dp, direction)
         with jax.named_scope("linesearch"):
             A_RD, A_DD = A_linesearch_cd(dp, c.R, direction, CD)
             if use_armijo:
@@ -216,7 +216,7 @@ def inner_chunk_impl(
         lbfgs=lbfgs,
         steps=jnp.zeros((), jnp.int32),
         stagnated=jnp.zeros((), bool),
-        CX=spmm_C(dp, _full(dp, R)) if use_cx else None,
+        CX=spmm_C(dp, R) if use_cx else None,
     )
     out = lax.while_loop(cond, body, init)
     vio_norm = jnp.linalg.norm(capped_vio(dp, out.vio_raw)) / pscale

@@ -365,7 +365,7 @@ def major_chunk_impl(
             scale = jnp.where(
                 alive, jnp.sqrt(b_row / jnp.maximum(nrm2, 1e-30)), 0.0)
             Rhat = R * scale[:, None]
-            CRh = spmm_C(dp, _full(dp, Rhat))
+            CRh = spmm_C(dp, Rhat)
             hp = lambda a, bb: jnp.matmul(
                 a, bb, precision=jax.lax.Precision.HIGHEST)
             for t in dp.lowrank:  # diag_identity ⇒ all low-rank terms are C
