@@ -63,7 +63,7 @@ def main():
 
     def one(fused):
         # warmup (compile) then timed
-        sdplr(C, As, b, 10, fused_outer=fused, maxtime=args.maxtime,
+        sdplr(C, As, b, 10, fused_outer=fused,
               **{**common, "ptol": 1.0, "objtol": 1.0})
         t0 = time.time()
         res = sdplr(C, As, b, 10, fused_outer=fused, **common)

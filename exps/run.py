@@ -59,6 +59,13 @@ def parse_args():
                         "of a Gset .mat (scale runs beyond the vendored "
                         "G1-G9; the reference's large instances are SNAP "
                         "downloads, unavailable offline)")
+    p.add_argument("--synthetic-kind", type=str, default="random",
+                   choices=["random", "local", "cyclepow", "cliques"],
+                   help="random: G(n,M)-style; local: ring-local "
+                        "(window = 4*deg); cyclepow: cycle power C_n^deg "
+                        "with analytic Lovász number n/(deg+1); cliques: "
+                        "n/deg disjoint deg-cliques with analytic "
+                        "Lovász number n/deg")
     p.add_argument("--deg", type=int, default=16,
                    help="average degree of the synthetic graph")
     p.add_argument("--devices", type=int, default=1,
@@ -81,6 +88,39 @@ def synthetic_graph(n: int, deg: int, seed: int = 1):
         (np.ones(keep.sum()), (rows[keep], cols[keep])), shape=(n, n)
     )
     return A.maximum(A.T)
+
+
+def synthetic_cycle_power(n: int, k: int):
+    """Cycle power graph C_n^k: i ~ j iff 0 < |i-j| mod n <= k.
+    With (k+1) | n its Lovász number is exactly θ = n/(k+1) (the
+    independent set {0, k+1, ...} gives a rank-1 feasible X with
+    ⟨-11ᵀ, X⟩ = -n/(k+1); the circulant dual matches), so θ solves at
+    scale carry an ANALYTIC ground-truth certificate."""
+    import scipy.sparse as sp
+
+    offs = np.arange(1, k + 1)
+    rows = np.repeat(np.arange(n), k)
+    cols = (rows + np.tile(offs, n)) % n
+    A = sp.csr_matrix((np.ones(n * k), (rows, cols)), shape=(n, n))
+    return A.maximum(A.T)
+
+
+def synthetic_cliques(n: int, s: int):
+    """Disjoint union of n/s cliques of size s. Lovász number is exactly
+    θ = n/s (clique-cover number = independence number; the one-vertex-
+    per-clique indicator gives a rank-1 optimal X) — an analytic
+    ground-truth θ instance for scale runs."""
+    import scipy.sparse as sp
+
+    K = n // s
+    base = np.repeat(np.arange(K) * s, s * (s - 1))
+    i_loc = np.tile(np.repeat(np.arange(s), s - 1), K)
+    j_loc = np.tile(
+        np.concatenate([np.delete(np.arange(s), i) for i in range(s)]), K
+    )
+    rows = base + i_loc
+    cols = base + j_loc
+    return sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
 
 
 def synthetic_local_graph(n: int, deg: int, window: int, seed: int = 1):
@@ -143,7 +183,16 @@ def main():
 
     def batch_eval(graph, filename, ptol, objtol):
         if args.synthetic_n:
-            A = synthetic_graph(args.synthetic_n, args.deg)
+            if args.synthetic_kind == "cyclepow":
+                A = synthetic_cycle_power(args.synthetic_n, args.deg)
+            elif args.synthetic_kind == "cliques":
+                A = synthetic_cliques(args.synthetic_n, args.deg)
+            elif args.synthetic_kind == "local":
+                A = synthetic_local_graph(
+                    args.synthetic_n, args.deg, 4 * args.deg
+                )
+            else:
+                A = synthetic_graph(args.synthetic_n, args.deg)
             return run_one(graph, A, filename, ptol, objtol)
         # MuConductance runs on the raw MaxCut adjacencies (the reference
         # keeps no separate data directory for it)

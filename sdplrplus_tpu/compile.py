@@ -177,7 +177,8 @@ class CompiledProblem:
     # with the feasible point I·b_w/⟨A_w,I⟩ = I/n repairs PSD — giving a
     # true feasible objective value.
     entry_trace_cert: bool = False
-    trC_n: float = 0.0                     # trace(C)/n (the I/n objective)
+    trC_n: float = 0.0                     # trace(C)/n
+    entry_mix_c: float = 0.0               # c of the X_I = c·I mix point
 
     # halo-exchange SpMM metadata (n_shards > 1 only; ops/spmm.support):
     # per-peer send row lists and ELL columns remapped into the
@@ -748,6 +749,7 @@ def compile_problem(
     ew_c2 = ew_v1 = ew_h = ew_C = None
     entry_cpen = entry_csgn = None
     entry_trace_cert = False
+    entry_mix_c = 0.0
     # trace(C)/n: the objective of the canonical feasible point I/n used
     # by the rigorous entry-mode certificate
     trC = 0.0
@@ -810,15 +812,19 @@ def compile_problem(
         # move the wide/trace constraint and I/n must satisfy them),
         # and ⟨A_w, I/n⟩ = b_w so the mixing point is feasible
         b_w0 = float(prob.b[wide_gids[0]]) if len(wide_gids) == 1 else 0.0
+        w_sum = float(np.sum(extra_wide_w[0])) if len(wide_gids) == 1 else 0.0
         entry_trace_cert = bool(
             len(wide_gids) == 1 and not lowrank_con_gids
-            and b_w0 > 0
+            and b_w0 > 0 and w_sum > 0
             and bool(np.all(extra_wide_w[0] >= 0))
             and bool(np.all(np.asarray(prob.b)[entry_gids] == 0.0))
             and bool(np.all(ti_n != tj_n))
-            and abs(float(np.sum(extra_wide_w[0])) / n - b_w0)
-            <= 1e-12 * max(abs(b_w0), 1.0)
         )
+        if entry_trace_cert:
+            # mix point X_I = c·I with c = b_w/Σw: satisfies the wide
+            # constraint exactly and every (off-diagonal, b=0) entry
+            # constraint; its objective is c·trace(C)
+            entry_mix_c = b_w0 / w_sum
 
     return CompiledProblem(
         n=n,
@@ -873,6 +879,7 @@ def compile_problem(
         entry_csgn=entry_csgn,
         entry_trace_cert=entry_trace_cert,
         trC_n=trC_n,
+        entry_mix_c=entry_mix_c,
         halo_send=halo_send,
         halo_ell_cols=halo_ell_cols,
         halo_ell2_cols=halo_ell2_cols,

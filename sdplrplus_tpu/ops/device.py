@@ -119,6 +119,8 @@ class DeviceProblem:
     entry_trace_cert: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # trace(C)/n — objective of the feasible point I/n (entry certificate)
     trC_n: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    # c of the entry-certificate mix point X_I = c·I (c = b_w/Σw)
+    entry_mix_c: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
     @property
     def dtype(self):
@@ -222,6 +224,7 @@ def to_device(cp: CompiledProblem, dtype) -> DeviceProblem:
         ls_wide_gid=int(cp.ls_wide_gid),
         entry_trace_cert=bool(cp.entry_trace_cert),
         trC_n=float(cp.trC_n),
+        entry_mix_c=float(cp.entry_mix_c),
         extra_gids=tuple(cp.extra_gids),
         n=cp.n,
         m=cp.m,

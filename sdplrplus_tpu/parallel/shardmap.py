@@ -152,6 +152,7 @@ def shardmap_problem(cp: CompiledProblem, dtype, mesh: Mesh,
         ls_wide_gid=dp.ls_wide_gid,
         entry_trace_cert=dp.entry_trace_cert,
         trC_n=dp.trC_n,
+        entry_mix_c=dp.entry_mix_c,
         n=dp.n,
         m=dp.m,
         n_pad=dp.n_pad,

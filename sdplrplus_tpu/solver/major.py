@@ -322,18 +322,21 @@ def major_chunk_impl(
             operator pass per strict boundary — so the gap the solver
             terminates on IS the certificate it reports."""
             if getattr(dp, "entry_trace_cert", False):
-                # entry-mode (Lovász-θ-family) RIGOROUS feasible-point
-                # certificate (compile.py gate: b_e = 0, entries
-                # off-diagonal, ⟨A_w, I/n⟩ = b_w > 0):
-                #   X̂ = s·RRᵀ with s = b_w/(b_w+v_w) ≥ 0 satisfies the
-                #   wide constraint exactly and stays PSD; zeroing the
-                #   entry violations (E_ij = s·v_e, symmetric) moves
-                #   λ_min by at most δ = ‖E‖_F = s·√(2Σv_e²); mixing
-                #   X̃ = (1−t)(X̂−E) + t·(I/n) with t = nδ/(1+nδ)
-                #   restores PSD, keeps every constraint exact, and has
-                #   the exactly-computable objective below — a true
-                #   upper bound on p*. Degenerate wide value (denom ≤ 0)
-                #   falls back to the feasible point I/n itself.
+                # entry-mode (Lovász-θ-family) termination objective:
+                # the LINEAR-FEASIBLE value ⟨C, X̂−E⟩ = s·obj − ⟨C,E⟩,
+                # where X̂ = s·RRᵀ satisfies the wide constraint exactly
+                # (s = b_w/(b_w+v_w) ≥ 0 keeps PSD) and E zeroes the
+                # entry violations exactly. X̂−E satisfies EVERY linear
+                # constraint; it is only ε-PSD (λ_min ≥ −‖E‖). The fully
+                # rigorous PSD repair (mix with I/n, charging
+                # t = nδ/(1+nδ)) is reported by the host at the end
+                # (outer._feasible_obj) but is NOT usable for
+                # termination: at ptol = 1e-2 the deficit term is O(1)
+                # for n ≥ 10³ (measured: a converged θ solve would need
+                # per-entry violations ≲ objtol/n ~ 1e-6 to certify).
+                # Terminating on the linear-feasible value is strictly
+                # more conservative than the reference, which terminates
+                # on the RAW objective (src/sdplr.jl:334-357).
                 gid_w = dp.extra_gids[0]
                 b_w = dp.b[gid_w]
                 v_w = c.ic.vio_raw[gid_w]
@@ -341,12 +344,31 @@ def major_chunk_impl(
                 s = jnp.where(denom_w > 0, b_w / denom_w, 0.0)
                 ve = c.ic.vio_raw[dp.entry_gids]
                 cE = s * jnp.sum(dp.entry_csgn * ve)      # ⟨C, E⟩ exact
+                # mix point X_I = c_mix·I, objective c_mix·trace(C)
+                c_mix = jnp.asarray(dp.entry_mix_c, dtype)
+                mix_obj = c_mix * jnp.asarray(dp.n * dp.trC_n, dtype)
+                lin = s * c.ic.vio_raw[m] - cE
+                # fully-rigorous PSD repair whenever affordable: mix
+                # with X_I, charging t = δ/(δ + c_mix); use the mixed
+                # value when its overhead fits in half the objtol
+                # budget (always true at tight tolerances / small δ/c),
+                # so converged tight solves certify rigorously and gaps
+                # stay ≥ 0
                 delta = s * jnp.sqrt(2.0 * jnp.sum(ve * ve))
-                t_mix = dp.n * delta / (1.0 + dp.n * delta)
-                trC_n = jnp.asarray(dp.trC_n, dtype)
-                cert = (1.0 - t_mix) * (s * c.ic.vio_raw[m] - cE) \
-                    + t_mix * trC_n
-                return jnp.where(denom_w > 0, cert, trC_n)
+                t_mix = delta / jnp.maximum(
+                    delta + c_mix, jnp.finfo(dtype).tiny)
+                mixed = (1.0 - t_mix) * lin + t_mix * mix_obj
+                budget = 0.5 * objtol * (
+                    jnp.maximum(jnp.abs(lin), jnp.asarray(1e-8, dtype))
+                    if objtol_relative else jnp.ones((), dtype)
+                )
+                # charge the repair, capped at half the objtol budget:
+                # = the fully rigorous mixed value when affordable; when
+                # the structural δ/c blow-up makes it unaffordable, the
+                # cap keeps termination reachable while still absorbing
+                # the ε-PSD undershoot of the linear-feasible value
+                val = jnp.minimum(mixed, lin + budget)
+                return jnp.where(denom_w > 0, val, mix_obj)
             if not getattr(dp, "diag_identity", False):
                 return c.ic.vio_raw[m]
             from ..ops.forward import _full

@@ -115,6 +115,86 @@ def _stagnation_tol(config: SolverConfig, dtype) -> float:
     return tol
 
 
+def _entry_term_obj(dp, vio_raw, objtol: float, objtol_relative: bool):
+    """Host mirror of the fused driver's entry-mode termination
+    objective (major._certified_obj): rigorous mixed certificate when
+    its PSD-repair overhead fits half the objtol budget, else the
+    linear-feasible value."""
+    v = np.asarray(vio_raw, dtype=np.float64)
+    gid_w = int(dp.extra_gids[0])
+    b_w = float(np.asarray(dp.b)[gid_w])
+    c_mix = float(dp.entry_mix_c)
+    mix_obj = c_mix * dp.n * float(dp.trC_n)
+    denom = b_w + v[gid_w]
+    if denom <= 0:
+        return mix_obj
+    s = b_w / denom
+    ve = v[np.asarray(dp.entry_gids)]
+    cE = s * float(np.sum(np.asarray(dp.entry_csgn) * ve))
+    lin = s * float(v[dp.m]) - cE
+    delta = s * float(np.sqrt(2.0 * np.sum(ve * ve)))
+    t_mix = delta / max(delta + c_mix, 1e-300)
+    mixed = (1.0 - t_mix) * lin + t_mix * mix_obj
+    budget = 0.5 * objtol * (max(abs(lin), 1e-8) if objtol_relative
+                             else 1.0)
+    return min(mixed, lin + budget)
+
+
+def _greedy_is_objective(prob, dp, R_np: np.ndarray):
+    """⟨C, χχᵀ⟩/|S| for a greedy independent set S of the entry-mode
+    edge pattern, vertices tried in decreasing ‖R_i‖² (the factor's own
+    weighting). A TRUE feasible objective for the θ family: entries are
+    edges with b_e = 0 (compile gate), the wide/trace constraint holds
+    by the 1/|S| scaling, and χχᵀ ⪰ 0. Analog of the reference's
+    rounding callbacks (exps/test.jl:76-87) promoted to a certificate."""
+    try:
+        rows = np.asarray(dp.entry_rows)
+        cols = np.asarray(dp.entry_cols)
+        n = dp.n
+        adj = [[] for _ in range(n)]
+        for i, j in zip(rows.tolist(), cols.tolist()):
+            if i < n and j < n and i != j:
+                adj[i].append(j)
+                adj[j].append(i)
+        weights = np.sum(R_np * R_np, axis=1)
+        order = np.argsort(-weights)
+        chosen = np.zeros(n, dtype=bool)
+        blocked = np.zeros(n, dtype=bool)
+        for v in order:
+            if blocked[v]:
+                continue
+            chosen[v] = True
+            for u in adj[v]:
+                blocked[u] = True
+            blocked[v] = True
+        S = np.nonzero(chosen)[0]
+        if S.size == 0:
+            return None
+        chi = np.zeros(n)
+        chi[S] = 1.0
+        # scale χχᵀ to satisfy the wide constraint exactly:
+        # X̃ = (b_w / Σ_{i∈S} w_i) · χχᵀ
+        gid_w = int(dp.extra_gids[0])
+        b_w = float(np.asarray(dp.b)[gid_w])
+        w_row = np.asarray(dp.extra_wide_w)[0][:n]
+        wS = float(np.sum(w_row[S]))
+        if wS <= 0:
+            return None
+        from ..problem import SparseSym, SymLowRank
+
+        C = prob.C
+        if isinstance(C, SymLowRank):
+            Bc = C.B.T @ chi
+            val = float(np.sum(C.d * Bc * Bc))
+        elif isinstance(C, SparseSym):
+            val = float(np.sum(C.vals * chi[C.rows] * chi[C.cols]))
+        else:
+            return None
+        return val * b_w / wS
+    except Exception:
+        return None
+
+
 def _feasible_obj(prob, dp, R_np: np.ndarray, vio_raw=None):
     """⟨C, X̂⟩ for the feasibility-PROJECTED factor on identity-diagonal
     problems (diag(X) = b, b > 0): R̂ᵢ = Rᵢ·√bᵢ/‖Rᵢ‖ makes X̂ = R̂R̂ᵀ
@@ -125,24 +205,41 @@ def _feasible_obj(prob, dp, R_np: np.ndarray, vio_raw=None):
     certificate itself is valid. None when no closed-form projection
     applies (non-diagonal constraint families)."""
     if getattr(dp, "entry_trace_cert", False) and vio_raw is not None:
-        # entry-mode RIGOROUS feasible-point certificate, mirroring the
-        # fused driver's termination objective (major._certified_obj):
-        # wide-scale + zero entry violations + mix with I/n charging the
-        # exact λ_min repair (see compile.py entry_trace_cert gate docs)
+        # entry-mode RIGOROUS feasible value: the better of
+        #   (a) the PSD-repaired mix: zero the entry violations of
+        #       X̂ = s·RRᵀ (exactly), then X̃ = (X̂−E+δI)/(1+nδ) with
+        #       δ = ‖E‖_F ≥ ‖E‖₂ — feasible for every constraint, cost
+        #       t = nδ/(1+nδ) of the distance to the I/n objective
+        #       (structurally loose at ptol=1e-2 for n ≳ 10³),
+        #   (b) greedy independent-set rounding: X̃ = χ_S χ_Sᵀ/|S| for an
+        #       independent set S picked by R-row weight — exactly
+        #       feasible (entries are edges with b_e = 0), and tight
+        #       whenever the factor encodes the optimal support.
+        # The fused driver terminates on the LINEAR-FEASIBLE value
+        # instead (major._certified_obj — ε-PSD; reference semantics
+        # terminate on the raw objective, src/sdplr.jl:334-357); this
+        # rigorous value is what rel_duality_gap reports.
         v = np.asarray(vio_raw, dtype=np.float64)
         gid_w = int(dp.extra_gids[0])
         b_w = float(np.asarray(dp.b)[gid_w])
-        n_ = dp.n
-        trC_n = float(dp.trC_n)
+        c_mix = float(dp.entry_mix_c)
+        mix_obj = c_mix * dp.n * float(dp.trC_n)
         denom = b_w + v[gid_w]
         if denom <= 0:
-            return trC_n  # the feasible point I/n itself
-        s = b_w / denom
-        ve = v[np.asarray(dp.entry_gids)]
-        cE = s * float(np.sum(np.asarray(dp.entry_csgn) * ve))
-        delta = s * float(np.sqrt(2.0 * np.sum(ve * ve)))
-        t_mix = n_ * delta / (1.0 + n_ * delta)
-        return (1.0 - t_mix) * (s * float(v[dp.m]) - cE) + t_mix * trC_n
+            cert = mix_obj  # the feasible point X_I itself
+        else:
+            s = b_w / denom
+            ve = v[np.asarray(dp.entry_gids)]
+            cE = s * float(np.sum(np.asarray(dp.entry_csgn) * ve))
+            delta = s * float(np.sqrt(2.0 * np.sum(ve * ve)))
+            t_mix = delta / max(delta + c_mix, 1e-300)
+            cert = (1.0 - t_mix) * (s * float(v[dp.m]) - cE) \
+                + t_mix * mix_obj
+
+        rounded = _greedy_is_objective(prob, dp, R_np)
+        if rounded is not None:
+            cert = min(cert, rounded)
+        return cert
     if not getattr(dp, "diag_identity", False):
         return None
     b = np.asarray(dp.b, dtype=np.float64)
@@ -214,6 +311,54 @@ def sdplr(C, As, b, r: int, *, constraint_types=None,
     return solve(prob, r, cfg)
 
 
+def _maybe_rescale_entry(prob: SDPProblem, config: SolverConfig):
+    """Auto-conditioning for trace-normalized entry families (Lovász-θ:
+    Tr X = 1, edge entries 0): solve the EQUIVALENT problem in
+    X' = f·X with f = Σw/b_w (C' = C/f, b' = f·b — the objective value
+    is invariant), so X' entries are O(1) instead of O(1/n).
+
+    Measured failure this fixes: at n = 10³ the original scaling's
+    per-step AL progress falls below f32 resolution — the inner loop
+    'stagnates' after a handful of steps, every boundary fires the
+    infeasible branch, and σ doubles to the overflow guard (f64 solves
+    the same instance exactly). Returns (prob', config', f); f = 1.0
+    means no rescale."""
+    from ..problem import SparseSym, SymLowRank
+
+    b = np.asarray(prob.b, dtype=np.float64)
+    if prob.constraint_types is not None and np.any(prob.constraint_types):
+        return prob, config, 1.0
+    nz = np.nonzero(b)[0]
+    if len(nz) != 1:
+        return prob, config, 1.0
+    gid_w = int(nz[0])
+    A_w = prob.As[gid_w]
+    if not isinstance(A_w, SparseSym):
+        return prob, config, 1.0
+    if not ((A_w.rows == A_w.cols).all() and (A_w.vals >= 0).all()):
+        return prob, config, 1.0
+    b_w = float(b[gid_w])
+    w_sum = float(np.sum(A_w.vals))
+    if b_w <= 0 or w_sum <= 0:
+        return prob, config, 1.0
+    f = w_sum / b_w
+    if f < 64.0:
+        return prob, config, 1.0
+    C = prob.C
+    if isinstance(C, SymLowRank):
+        C2 = SymLowRank(C.B, C.d / f)
+    elif isinstance(C, SparseSym):
+        C2 = SparseSym(C.rows, C.cols, C.vals / f, C.n)
+    else:
+        return prob, config, 1.0
+    prob2 = SDPProblem(C2, list(prob.As), b * f, prob.constraint_types)
+    cfg2 = config.copy_with(
+        prior_trace_bound=config.prior_trace_bound * f
+        if np.isfinite(config.prior_trace_bound) else config.prior_trace_bound
+    )
+    return prob2, cfg2, f
+
+
 def solve(prob: SDPProblem, r: int, config: SolverConfig,
           mesh=None) -> dict:
     """Solve ``prob``. With ``config.devices > 1`` (or an explicit
@@ -223,6 +368,8 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
     (parallel/shardmap.py; SURVEY §5 sharding plan)."""
     if config.printlevel > 0:
         print_heading(True)
+
+    prob, config, rescale_f = _maybe_rescale_entry(prob, config)
 
     t_pre = time.time()
     dtype = resolve_dtype(config)
@@ -260,6 +407,19 @@ def solve(prob: SDPProblem, r: int, config: SolverConfig,
     result["preprocess_time"] = preprocess_time
     result["totaltime"] += preprocess_time
     result["devices"] = 1 if spmd is None else int(np.prod(mesh.devices.shape))
+
+    if rescale_f != 1.0:
+        # map the solution back to the user's scale: X = X'/f so
+        # R = R'/√f; duals y = f·y' (S = f·S'); objective/dual values
+        # and relative norms are invariant by construction
+        sf = float(np.sqrt(rescale_f))
+        for key in ("R", "Rt", "R0", "Rt0"):
+            if result.get(key) is not None:
+                result[key] = np.asarray(result[key]) / sf
+        for key in ("lambda", "lambda_last", "lambda0"):
+            if result.get(key) is not None:
+                result[key] = np.asarray(result[key]) * rescale_f
+        result["entry_rescale_f"] = rescale_f
 
     if config.printlevel > 0:
         print_heading(False)
@@ -530,6 +690,21 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
 
         if bool(carry.converged):
             break
+        if final_polish and new_majors == majors_now:
+            # the f32 gradient floor can sit above cur_gtol forever in
+            # the polish phase (stagnation break off), so the inner loop
+            # would never reach another major boundary and the gap would
+            # never be re-evaluated against the polished iterate (an
+            # n=800 θ run ground 600k+ iterations on a STALE 1.4e-2 gap
+            # this way). Pull cur_gtol just below the current gradient
+            # norm so the next dispatch crosses a boundary and
+            # re-certifies.
+            carry = carry._replace(
+                cur_gtol=jnp.maximum(
+                    carry.ic.grad_norm * jnp.asarray(0.9, dtype),
+                    jnp.asarray(_gtol_floor(config, dtype), dtype),
+                )
+            )
         if (tried_polish and not final_polish and stag_tol == -np.inf
                 and total_iter - polish_start > POLISH_BUDGET):
             # polish budget exhausted without the gap counter resolving:
@@ -977,12 +1152,18 @@ def _solve_host(prob, dp, r: int, config: SolverConfig, dtype) -> dict:
             # IS the certificate it reports (round-4 advisor fix)
             obj = float(vio_raw[m])
             if vio_norm <= config.ptol:
-                obj_cert = _feasible_obj(
-                    prob, dp, np.asarray(R[:n], dtype=np.float64),
-                    np.asarray(vio_raw),
-                )
-                if obj_cert is not None and np.isfinite(obj_cert):
-                    obj = float(obj_cert)
+                if getattr(dp, "entry_trace_cert", False):
+                    obj = _entry_term_obj(
+                        dp, np.asarray(vio_raw), config.objtol,
+                        config.objtol_mode == "relative",
+                    )
+                else:
+                    obj_cert = _feasible_obj(
+                        prob, dp, np.asarray(R[:n], dtype=np.float64),
+                        np.asarray(vio_raw),
+                    )
+                    if obj_cert is not None and np.isfinite(obj_cert):
+                        obj = float(obj_cert)
             if config.objtol_mode == "relative":
                 denom = min(abs(obj), abs(max_dual_value))
                 duality_gap = (obj - max_dual_value) / denom if denom > 0 else np.inf

@@ -157,6 +157,96 @@ def test_megakernel_ineligible_cases():
     cp = compile_problem(prob)
     dp = to_device(cp, jnp.float32)
     assert not megakernel_eligible(dp, 3, 4, False, jnp.float32)
-    # inequality problems use Armijo -> ineligible
-    dp2, _, _ = _setup("maxcut")[0], None, None
-    assert not megakernel_eligible(dp2, 3, 4, True, jnp.float32)
+    # Armijo (inequality) requests now route to the Armijo variant for
+    # diagonal-constraint families instead of being rejected
+    dp2 = _setup("maxcut")[0]
+    assert megakernel_eligible(dp2, 3, 4, True, jnp.float32)
+
+
+def _mucond_setup(n=60, seed=2, mu=0.1):
+    import scipy.sparse as sp
+
+    from sdplrplus_tpu.models.problems import mu_conductance_ineq
+
+    rng_A = sp.random(n, n, density=0.12, random_state=seed)
+    A = ((rng_A + rng_A.T) > 0).astype(float)
+    A.setdiag(0)
+    A.eliminate_zeros()
+    C, As, b, ct = mu_conductance_ineq(A, mu)
+    prob = SDPProblem(C, list(As), np.asarray(b, np.float64), ct)
+    cp = compile_problem(prob)
+    dp = to_device(cp, jnp.float32)
+    return prob, cp, dp
+
+
+def test_armijo_megakernel_initial_state_matches_oracle():
+    """The Armijo kernel recomputes (L, G, vio) from R on entry; they
+    must equal the XLA sharp-AL oracle (solver/al.al_value_grad)."""
+    from sdplrplus_tpu.ops.megakernel import (
+        mega_chunk_traced, mega_spec_for, prepare_mega_data,
+    )
+    from sdplrplus_tpu.solver.al import al_value_grad
+    from sdplrplus_tpu.solver.lbfgs import lbfgs_init
+
+    prob, cp, dp = _mucond_setup()
+    r, k = 6, 4
+    assert megakernel_eligible(dp, r, k, True, jnp.float32)
+    meta, data = prepare_mega_data(
+        dp, k=k, gtol_relative=True, ptol_relative=True
+    )
+    spec = mega_spec_for(meta, r)
+    assert spec.armijo and spec.J >= 2 and spec.n_wide == 1
+
+    rng = np.random.default_rng(0)
+    R = jnp.asarray(
+        np.vstack([rng.uniform(-1, 1, (cp.n, r)),
+                   np.zeros((cp.n_pad - cp.n, r))]), jnp.float32)
+    lam = jnp.asarray(rng.normal(size=cp.m) * 0.01, jnp.float32)
+    lam = jnp.minimum(dp.lam_ub, lam)
+    sigma = jnp.asarray(2.0, jnp.float32)
+    L, vio_raw, G, y_full, gn, _ = al_value_grad(
+        dp, R, lam, sigma, gtol_relative=True, ptol_relative=True
+    )
+    lbfgs = lbfgs_init(k, cp.n_pad, r, jnp.float32)
+    carry, _ = mega_chunk_traced(
+        spec, r, cp.m, True, meta["pscale"], data, R, lbfgs, lam, sigma,
+        jnp.asarray(0.0, jnp.float32), jnp.asarray(-np.inf, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    sc = max(abs(float(L)), 1.0)
+    assert abs(float(carry.L_val) - float(L)) <= 1e-4 * sc
+    np.testing.assert_allclose(
+        np.asarray(carry.vio_raw), np.asarray(vio_raw),
+        rtol=2e-4, atol=1e-4,
+    )
+    assert abs(float(carry.grad_norm) - float(gn)) <= 1e-3 * float(gn)
+
+
+def test_armijo_megakernel_e2e_mucond():
+    """Full μ-conductance solve through the Armijo megakernel vs the XLA
+    engine: same certified objective at protocol tolerances. (Trajectory
+    equality is not expected — at stiff early iterates the direction is
+    chaotic in f32 dot order — but both engines must converge to the
+    same optimum with valid certificates.)"""
+    from sdplrplus_tpu.solver.outer import sdplr
+
+    import scipy.sparse as sp
+
+    from sdplrplus_tpu.models.problems import mu_conductance_ineq
+
+    rng_A = sp.random(60, 60, density=0.12, random_state=2)
+    A = ((rng_A + rng_A.T) > 0).astype(float)
+    A.setdiag(0)
+    A.eliminate_zeros()
+    C, As, b, ct = mu_conductance_ineq(A, 0.1)
+    common = dict(
+        constraint_types=ct, ptol=1e-2, objtol=1e-2, printlevel=0,
+        seed=0, dtype="float32", prior_trace_bound=60.0, maxtime=240.0,
+    )
+    res_x = sdplr(C, As, b, 6, inner_impl="xla", **common)
+    res_m = sdplr(C, As, b, 6, inner_impl="mega", **common)
+    assert res_m["inner_engine"] == "pallas-megakernel"
+    assert res_m["primal_vio"] <= 1.5e-2
+    assert res_m["rel_duality_gap"] <= 1.5e-2
+    rel = abs(res_m["obj"] - res_x["obj"]) / max(abs(res_x["obj"]), 1e-9)
+    assert rel < 2e-2
