@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--problem", type=str, default="MaxCut")
     p.add_argument("--graph", type=str, default="G1")
     p.add_argument("--synthetic-n", type=int, default=0)
+    p.add_argument("--synthetic-kind", type=str, default="random",
+                   choices=["random", "cyclepow", "cliques", "local"],
+                   help="same instance builders as exps/run.py")
     p.add_argument("--deg", type=int, default=16)
     p.add_argument("--mu", type=float, default=0.1)
     p.add_argument("--data-root", type=str,
@@ -61,9 +64,21 @@ def load_instance(args):
     from sdplrplus_tpu.utils.io import gset_path, load_mat_adjacency
 
     if args.synthetic_n:
-        from run import synthetic_graph
+        from run import (
+            synthetic_cliques, synthetic_cycle_power, synthetic_graph,
+            synthetic_local_graph,
+        )
 
-        A = synthetic_graph(args.synthetic_n, args.deg)
+        if args.synthetic_kind == "cyclepow":
+            A = synthetic_cycle_power(args.synthetic_n, args.deg)
+        elif args.synthetic_kind == "cliques":
+            A = synthetic_cliques(args.synthetic_n, args.deg)
+        elif args.synthetic_kind == "local":
+            A = synthetic_local_graph(
+                args.synthetic_n, args.deg, 4 * args.deg
+            )
+        else:
+            A = synthetic_graph(args.synthetic_n, args.deg)
     else:
         data_problem = ("MaxCut" if args.problem == "MuConductance"
                         else args.problem)

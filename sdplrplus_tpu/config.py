@@ -156,5 +156,12 @@ def resolve_dtype(config: SolverConfig):
     import jax.numpy as jnp
 
     if config.dtype is not None:
-        return jnp.dtype(config.dtype)
+        dt = jnp.dtype(config.dtype)
+        if dt == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+            # without this, every jnp.asarray(..., f64) silently
+            # truncates to f32 and the "f64 run" is an f32 run with a
+            # warning stream — enable x64 instead (safe at runtime; it
+            # only widens the set of available dtypes)
+            jax.config.update("jax_enable_x64", True)
+        return dt
     return jnp.dtype(jnp.float64) if jax.config.jax_enable_x64 else jnp.dtype(jnp.float32)

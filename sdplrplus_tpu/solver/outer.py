@@ -265,6 +265,19 @@ def _feasible_obj(prob, dp, R_np: np.ndarray, vio_raw=None):
     return total
 
 
+def _want_block_lanczos(lanczos_block: int, highprecision: bool,
+                        n: int, q_raw: int) -> bool:
+    """Block-vs-scalar dual-bound path selection (see blk_for in
+    _solve_fused). Block when: forced (lanczos_block > 0), n > 4096
+    (the measured 54-57%-of-wall regime, VERDICT r4), or the scalar
+    schedule wants q > 1024 — past the device Sturm eigensolver's safe
+    bucket — so the scalar clamp never silently degrades a certificate.
+    Scalar when forced (-1) or highprecision (reorthogonalized path)."""
+    if lanczos_block < 0 or highprecision:
+        return False
+    return lanczos_block > 0 or n > 4096 or q_raw > 1024
+
+
 def _engine_name(dp, use_mega: bool) -> str:
     """Which inner-loop engine served this solve (result provenance)."""
     from ..ops.device import fast_diag_eligible
@@ -481,16 +494,19 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
                 dp, k=k, gtol_relative=gtol_rel, ptol_relative=ptol_rel
             )
 
-    def blk_for(r_now: int) -> tuple:
+    def blk_for(r_now: int, q_raw: int = 0) -> tuple:
         """(b, k_max) for the block-Lanczos dual bound, or (0, 0) for the
         scalar path. Auto: block for n > 4096, where the rank-1 Lanczos
         schedule was measured at 54-57% of total wall time (VERDICT r4);
         below that the projected small-eigensolve overhead rivals the
         SpMM passes and the scalar path keeps the tiny-problem tests'
-        f64 exactness."""
-        if config.lanczos_block < 0 or config.eigval_highprecision:
-            return 0, 0
-        if config.lanczos_block == 0 and n <= 4096:
+        f64 exactness. A scalar-path request whose schedule wants
+        q > 1024 (past the device Sturm eigensolver's safe bucket, see
+        the ceiling note below) also escalates to the block path, whose
+        projected subspace never exceeds 512 columns by construction —
+        so the ceiling never silently degrades a certificate."""
+        if not _want_block_lanczos(config.lanczos_block,
+                                   config.eigval_highprecision, n, q_raw):
             return 0, 0
         from ..ops.blocklanczos import block_sizes
 
@@ -588,18 +604,20 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
             print("Warning: major iteration limit exceeded. Stop optimizing.")
             break
 
-        q_need = lanczos_q(total_iter + chunk, n) * q_boost
+        q_raw = lanczos_q(total_iter + chunk, n) * q_boost
         if config.eigval_highprecision:
-            q_need = min(max(100, 2 * q_need), n)
-        # 1024-iteration ceiling: the device tridiagonal eigensolve at a
-        # 2048 bucket reproducibly faults the remote TPU worker, and a
-        # 1024-step unreorthogonalized f32 Lanczos is past its useful
-        # accuracy anyway. The block-Lanczos path (blk below) makes the
-        # ceiling moot at scale: its projected subspace never exceeds
-        # 512 columns by construction (ops/blocklanczos.block_sizes).
-        q_need = min(q_need, max(n, 1), 1024)
+            q_raw = min(max(100, 2 * q_raw), n)
+        blk = blk_for(r, q_raw)
+        # 1024-iteration ceiling on the SCALAR path only: the device
+        # tridiagonal eigensolve at a 2048 bucket reproducibly faults the
+        # remote TPU worker, and a 1024-step unreorthogonalized f32
+        # Lanczos is past its useful accuracy anyway. A scalar-path
+        # schedule that wants more has already escalated to the block
+        # path in blk_for (subspace ≤ 512 columns by construction,
+        # ops/blocklanczos.block_sizes), so the clamp below only binds
+        # for forced-scalar (lanczos_block=-1) and highprecision runs.
+        q_need = min(q_raw, max(n, 1), 1024)
         q_max = bucket_q_max(q_need)
-        blk = blk_for(r)
         # minimum Krylov depth ~ log2(n) (the degree-8 failure mode:
         # a plateaued θ at tiny margin before λ_min's eigenvector was
         # discovered at all); gap-stall escalation (q_boost) demands a
