@@ -446,9 +446,44 @@ def _solve(prob, dp, r: int, config: SolverConfig, dtype,
             "multi-device solves run through the fused outer driver; "
             "set fused_outer=True (the default) when devices > 1"
         )
-    if config.fused_outer:
-        return _solve_fused(prob, dp, r, config, dtype, spmd)
-    return _solve_host(prob, dp, r, config, dtype)
+    if not config.fused_outer:
+        return _solve_host(prob, dp, r, config, dtype)
+
+    result = _solve_fused(prob, dp, r, config, dtype, spmd)
+    # reseed-restart: the last rung of the stall ladder. A BM trajectory
+    # can land in a spurious basin (measured: μ-conductance G4 seed 0 on
+    # the megakernel engine stalls at obj 0.767 / gap 15 with every
+    # budget maxed, while seed 1 converges to 0.727 at gap 9.9e-3, and
+    # the XLA engine converges seed 0 — basin luck, not a kernel bug).
+    # When the ladder exhausted its budgets with a useless certificate
+    # and wall-clock remains, retry from a fresh seed and keep the best
+    # attempt. No reference counterpart (the reference grinds to its
+    # time limit, src/sdplr.jl:298-306).
+    def _gap_of(res):
+        g = res.get("rel_duality_gap")
+        return float("inf") if g is None or not np.isfinite(g) else float(g)
+
+    attempts = 0
+    spent = float(result["totaltime"])
+    while (attempts < 2
+           and np.isfinite(config.objtol) and config.objtol > 0
+           and not result.get("timed_out", False)
+           and _gap_of(result) > max(10.0 * config.objtol, 0.1)
+           and config.maxtime - spent > max(60.0, 0.2 * spent)):
+        attempts += 1
+        cfg2 = config.copy_with(seed=config.seed + 1031 * attempts,
+                                maxtime=config.maxtime - spent)
+        if config.printlevel > 0:
+            print(f"certificate unusable (gap {_gap_of(result):.3g}) with "
+                  f"budgets exhausted; reseed-restart {attempts} "
+                  f"(seed {cfg2.seed}).")
+        res2 = _solve_fused(prob, dp, r, cfg2, dtype, spmd)
+        spent += float(res2["totaltime"])
+        if _gap_of(res2) < _gap_of(result):
+            result = res2
+        result["totaltime"] = spent
+        result["reseed_attempts"] = attempts
+    return result
 
 
 def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
@@ -967,7 +1002,10 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         "r": r,
         "timed_out": timed_out,
         "inner_engine": _engine_name(dp, bool(mega_kwargs(r)[0])) + (
-            "+shard_map" if spmd is not None else ""
+            ("+shard_map-halo"
+             if getattr(spmd[1], "halo_send", None) is not None
+             else "+shard_map")
+            if spmd is not None else ""
         ),
         "dtype": str(jnp.dtype(dtype)),
     }
