@@ -397,6 +397,16 @@ def main():
     }
     if refine_hist is not None:
         out["refine_history"] = refine_hist
+    if (args.problem == "LovaszTheta" and args.synthetic_n
+            and args.synthetic_kind in ("cyclepow", "cliques")):
+        # analytic Lovász number of the synthetic instance (see the
+        # builder docstrings in exps/run.py) — an EXACT independent
+        # certificate for the primal objective at scale
+        theta = (args.synthetic_n / (args.deg + 1)
+                 if args.synthetic_kind == "cyclepow"
+                 else args.synthetic_n / args.deg)
+        out["analytic_theta"] = theta
+        out["primal_rel_err_vs_analytic"] = abs(-obj - theta) / theta
     out_path = args.out or args.artifact.replace(".json", "_certify.json")
     with open(out_path, "w") as f:
         json.dump(out, f, indent=4, default=float)

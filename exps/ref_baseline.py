@@ -48,6 +48,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import scipy.sparse as sp
+
+
+def _load_rowdot():
+    """Fused C row-dot kernel (native/rowdot_bench.cpp) standing in for
+    the reference's @inbounds @simd `mydot` loop (src/coreop.jl:153-172):
+    numpy's R[ti] fancy-indexing materializes both gathered row blocks
+    and runs ~6-8x slower on the benchmark shapes (measured,
+    exps/output/baseline_cpu/oplevel_bound.json) — using it would
+    understate the reference and inflate every vs_baseline figure."""
+    import ctypes
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "rowdot_bench.cpp")
+    lib = os.path.join(root, "native", "librowdot.so")
+    try:
+        if (not os.path.exists(lib)
+                or os.path.getmtime(lib) < os.path.getmtime(src)):
+            subprocess.check_call(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", lib, src])
+        dll = ctypes.CDLL(lib)
+        dll.rowdot_f64.argtypes = [ctypes.c_void_p] * 5 + [ctypes.c_int64] * 2
+        return dll
+    except Exception:
+        return None
+
+
+_ROWDOT = _load_rowdot()
+
+
+def _rowdot(R, D, ti, tj, out):
+    """out[p] = <R[ti[p]], D[tj[p]]> via the fused C kernel (numpy
+    fallback when the toolchain is unavailable)."""
+    if _ROWDOT is not None and R.flags.c_contiguous and D.flags.c_contiguous:
+        _ROWDOT.rowdot_f64(R.ctypes.data, D.ctypes.data,
+                           ti.ctypes.data, tj.ctypes.data,
+                           out.ctypes.data, len(ti), R.shape[1])
+        return out
+    np.einsum("pr,pr->p", R[ti], D[tj], out=out)
+    return out
 from scipy.linalg import eigh_tridiagonal
 
 from sdplrplus_tpu.problem import SparseSym, SymLowRank
@@ -98,8 +139,11 @@ class Prep:
                 continue
             ij.update(zip(A.row.tolist(), A.col.tolist()))
         pat = np.array(sorted(ij), dtype=np.int64).reshape(-1, 2)
-        self.ti, self.tj = pat[:, 0], pat[:, 1]
+        self.ti = np.ascontiguousarray(pat[:, 0], dtype=np.int64)
+        self.tj = np.ascontiguousarray(pat[:, 1], dtype=np.int64)
         P = len(self.ti)
+        self._uvt = np.empty(P)
+        self._uvt2 = np.empty(P)
         self.P = P
         pos = {(int(i), int(j)): p for p, (i, j) in enumerate(pat)}
 
@@ -135,7 +179,7 @@ class Prep:
     def A_uu(self, R):
         """A(RR') over all constraints + objective slot m (reference:
         src/coreop.jl:72-113, per-nnz dots then one SpMV)."""
-        uvt = np.einsum("pr,pr->p", R[self.ti], R[self.tj])
+        uvt = _rowdot(R, R, self.ti, self.tj, self._uvt)
         out = self.B_two_T @ uvt
         for k, L in self.lowrank.items():
             BR = L.B.T @ R  # (s, r)
@@ -144,8 +188,8 @@ class Prep:
 
     def A_uv(self, R, D):
         """A(RD' + DR') (reference: src/coreop.jl:115-151,188-203)."""
-        uvt = (np.einsum("pr,pr->p", R[self.ti], D[self.tj])
-               + np.einsum("pr,pr->p", D[self.ti], R[self.tj]))
+        uvt = _rowdot(R, D, self.ti, self.tj, self._uvt)
+        uvt = uvt + _rowdot(D, R, self.ti, self.tj, self._uvt2)
         out = self.B_two_T @ uvt
         for k, L in self.lowrank.items():
             BR = L.B.T @ R

@@ -250,6 +250,7 @@ def main():
                 os.path.join(outdir, filename + "_state.npz"),
                 best_lam=np.asarray(res["lambda"], np.float64),
                 lam_last=np.asarray(res["lambda_last"], np.float64),
+                R=np.asarray(res["R"], np.float32),
                 obj=res["obj"],
                 obj_feasible=(np.nan if res.get("obj_feasible") is None
                               else res["obj_feasible"]),

@@ -204,3 +204,34 @@ def test_mu_conductance_ineq_e2e_n100():
     # the volume normalization constraint sum d_i X_ii = 1
     d = np.asarray(A.sum(axis=1)).reshape(-1)
     assert abs(float(d @ X_diag) - 1.0) <= 2e-2
+
+
+def test_fused_matches_host_driver_n2000():
+    """Benchmark-scale (n=2000, fast-diag engine) host/fused
+    equivalence: the round-4 A/B compared a 4137-iter fused trajectory
+    against a 638-iter/299-major host one because nothing checked the
+    two drivers above toy sizes (round-4 verdict weak #4/#3). At
+    matched trajectories the dual-time A/B (exps/ab_dualtime.py) is
+    apples-to-apples."""
+    rng = np.random.default_rng(11)
+    n, deg = 2000, 8
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, n * deg)
+    keep = rows != cols
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (np.ones(keep.sum()), (rows[keep], cols[keep])), shape=(n, n)
+    )
+    A = A.maximum(A.T)
+    C, As, b = maxcut(A)
+    kw = dict(
+        objtol=1e-2, ptol=1e-2, prior_trace_bound=float(n),
+        printlevel=0, maxmajoriter=60, maxiter=4000,
+    )
+    rf = sdplr(C, As, b, 10, fused_outer=True, **kw)
+    rh = sdplr(C, As, b, 10, fused_outer=False, **kw)
+    assert rf["iter"] == rh["iter"]
+    assert rf["majoriter"] == rh["majoriter"]
+    assert rf["dual_bounds_computed"] == rh["dual_bounds_computed"]
+    assert abs(rf["obj"] - rh["obj"]) < 1e-6 * max(1.0, abs(rh["obj"]))
