@@ -131,7 +131,8 @@ def run_bench(graph="G1", dtype="float32"):
     common = dict(
         prior_trace_bound=float(n), dtype=dtype, printlevel=0, dataset=graph
     )
-    sdplr(C, As, b, 10, ptol=1.0, objtol=1.0, maxtime=900.0, **common)
+    # full-ladder warmup (see run_bench_20k's warmup note)
+    sdplr(C, As, b, 10, ptol=1e-2, objtol=1e-2, maxtime=900.0, **common)
     t0 = time.time()
     res = sdplr(C, As, b, 10, ptol=1e-2, objtol=1e-2, maxtime=600.0, **common)
     wall = time.time() - t0
@@ -200,7 +201,12 @@ def run_bench_20k(maxtime=900.0, dtype="float32"):
     C, As, b = maxcut(A)
     common = dict(prior_trace_bound=20000.0, dtype=dtype, printlevel=0,
                   dataset="SYN20K")
-    sdplr(C, As, b, 10, ptol=1.0, objtol=1.0, maxtime=maxtime, **common)
+    # warmup at the REAL tolerances: a tol=1.0 warmup exits before the
+    # rank doubling / deep-Lanczos-bucket programs ever compile, so the
+    # timed run was paying tens of seconds of XLA compilation — the
+    # shape-specialized analog of the reference's JIT warmup
+    # (exps/test.jl:179-192) must traverse the same (r, q) ladder
+    sdplr(C, As, b, 10, ptol=1e-2, objtol=1e-2, maxtime=maxtime, **common)
     t0 = time.time()
     res = sdplr(C, As, b, 10, ptol=1e-2, objtol=1e-2, maxtime=maxtime,
                 **common)

@@ -62,9 +62,8 @@ def main():
                   dataset=tag)
 
     def one(fused):
-        # warmup (compile) then timed
-        sdplr(C, As, b, 10, fused_outer=fused,
-              **{**common, "ptol": 1.0, "objtol": 1.0})
+        # full-ladder warmup (same tolerances; see bench.py warmup note)
+        sdplr(C, As, b, 10, fused_outer=fused, **common)
         t0 = time.time()
         res = sdplr(C, As, b, 10, fused_outer=fused, **common)
         wall = time.time() - t0

@@ -333,9 +333,25 @@ def block_lanczos_min_eig_impl(
         A_blocks = A_blocks.at[j].set(jnp.where(san, A_j, 0.0))
         B_blocks = B_blocks.at[j].set(jnp.where(san, B_j, 0.0))
 
+        # check only where it can still change the outcome: the
+        # hit-then-double confirmation needs the loop to reach 2·j_hit,
+        # so a check at j+1 > k_max/2 can never confirm an early exit —
+        # it would burn a full projected eigensolve (the expensive part:
+        # ~150 ms of sequential Householder steps per check at p≈500,
+        # measured ~1.2 s per strict boundary with the old every-2
+        # schedule while the 21 block SpMM steps cost ~0.3 s) for no
+        # possible saving. Final/breakdown checks always run.
+        can_arm = 2 * (j + 1) <= k_max          # a new hit could confirm
+        can_confirm = jnp.logical_and(          # a pending hit confirms now
+            j_hit > 0, j + 1 >= 2 * j_hit
+        )
+        on_schedule = jnp.logical_and(
+            j + 1 >= k_min, (j + 1 - k_min) % check_every == 0
+        )
         do_check = jnp.logical_or(
-            jnp.logical_and(
-                j + 1 >= k_min, (j + 1 - k_min) % check_every == 0
+            jnp.logical_or(
+                jnp.logical_and(on_schedule, can_arm),
+                jnp.logical_and(j + 1 >= k_min, can_confirm),
             ),
             jnp.logical_or(fail, j + 1 >= k_max),
         )

@@ -13,6 +13,7 @@ the new (n, r) — bounded by log₂ of the Barvinok–Pataki rank.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -661,11 +662,17 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         k_min_base = max(4, int(np.ceil(np.log2(max(n, 2)))))
         blk_k_min = min(k_min_base * q_boost, blk[1]) if blk[0] else 4
 
-        # cap major boundaries per dispatch too: each strict boundary runs
-        # a q-matvec Lanczos (~10 s at n=100k), and several in one
-        # dispatch would overrun the worker's execution watchdog
+        # cap major boundaries per dispatch too, sized to the boundary
+        # cost: on the SCALAR dual path a strict boundary runs a
+        # q-matvec Lanczos (~10 s at n=100k), so at most 2 fit inside
+        # the worker's execution watchdog; the block path's boundary is
+        # ~0.5 s (k_max b-lane passes + one projected eigensolve), so
+        # forcing a host round-trip every 2 boundaries just multiplied
+        # tunnel RTTs (measured: 28 of 35 SYN20K dispatches were
+        # boundary-forced at ~0.2 s fixed overhead each)
         dispatch_majors = (
-            min(major_thresh, majors_now + 2) if adapt else major_thresh
+            min(major_thresh, majors_now + (8 if blk[0] else 2))
+            if adapt else major_thresh
         )
         chunk_args = (
             jnp.asarray(steps_now + chunk, jnp.int32),
@@ -702,6 +709,11 @@ def _solve_fused(prob, dp, r: int, config: SolverConfig, dtype,
         new_steps = int(carry.ic.steps)
         new_majors = int(carry.majoriters)
         vio_norm = float(vio_norm_d)
+        if os.environ.get("SDPLR_DEBUG_DISPATCH"):
+            print(f"[dispatch] steps {steps_now}->{new_steps} "
+                  f"majors {majors_now}->{new_majors} r={r} q={q_max} "
+                  f"blk={blk} wall={time.time() - t_dispatch:.3f}s",
+                  flush=True)
         if adapt:
             # re-target the next dispatch's step budget to ~target_s of
             # device time (the int() sync above already forced completion,
