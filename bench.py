@@ -306,9 +306,13 @@ def main():
                         "vs_baseline = CPU-baseline time-to-1e-2 over TPU "
                         "time-to-1e-2 at the same n (end-to-end, warmup "
                         "excluded on both sides). The CPU baseline is a "
-                        "single-thread numpy/scipy port of the reference "
-                        "hot loop (exps/ref_baseline.py; Julia "
-                        "unavailable in-image) run under the reference's "
+                        "single-thread port of the reference hot loop "
+                        "(exps/ref_baseline.py; Julia unavailable "
+                        "in-image) whose per-nnz gather kernel is a fused "
+                        "C SIMD loop equivalent to the reference's "
+                        "@simd mydot — 6-10x stronger than the round-4 "
+                        "numpy-gather port (see exps/output/baseline_cpu/"
+                        "oplevel_bound.json), run under the reference's "
                         "own 1-thread protocol. Device iteration rates "
                         "are reported per-instance below, not as the "
                         "headline."

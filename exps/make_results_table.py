@@ -24,7 +24,9 @@ def collect():
     for path in sorted(glob.glob(os.path.join(OUT, "*", "*", "*.json"))):
         parts = path.split(os.sep)
         problem, graph = parts[-3], parts[-2]
-        if problem == "baseline_cpu" or "warmup" in os.path.basename(path):
+        base = os.path.basename(path)
+        if (problem == "baseline_cpu" or "warmup" in base
+                or base.endswith("_certify.json")):
             continue
         with open(path) as f:
             d = json.load(f)
