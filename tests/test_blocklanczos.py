@@ -181,6 +181,9 @@ def test_scalar_q_ceiling_escalates_to_block():
     assert not _want_block_lanczos(0, False, 2048, 800)
     # auto, small n, schedule past the ceiling -> block
     assert _want_block_lanczos(0, False, 2048, 1500)
+    # n <= 1024: the scalar space is already full (q = n exact); a
+    # boosted schedule must NOT flip onto the smaller block subspace
+    assert not _want_block_lanczos(0, False, 800, 4000)
     # scale regime -> block regardless of schedule
     assert _want_block_lanczos(0, False, 8192, 100)
     # forced scalar (-1) / highprecision stay scalar
