@@ -472,10 +472,70 @@ def _solve(prob, dp, r: int, config: SolverConfig, dtype,
 
     attempts = 0
     spent = float(result["totaltime"])
+
+    def _dual_polish(res):
+        # host f64 dual polish: when the certificate misses the
+        # protocol tolerance, the slack is in the dual MULTIPLIER, not
+        # the eigensolve — any y certifies by weak duality, so
+        # maximizing d(y) on the host in float64
+        # (solver/dualrefine.refine_dual: lift S(y)'s bottom eigenband
+        # by damped Gauss-Newton LSQR over the b=0 multipliers) can
+        # only tighten the reported bound. The framework's analog of
+        # the reference's eigval_highprecision escape
+        # (src/coreop.jl:351-374), aimed one level deeper.
+        # Equality-only (refine_dual's domain); cheap next to a reseed
+        # (measured: 8 s vs a 30 s fresh basin on θ G1, closing
+        # 1.04e-2 -> 8.9e-3).
+        eq_only = (prob.constraint_types is None
+                   or not bool(np.any(prob.constraint_types)))
+        gap_now = _gap_of(res)
+        if not (eq_only and np.isfinite(config.objtol)
+                and config.objtol > 0
+                and np.isfinite(gap_now) and gap_now > config.objtol
+                and res.get("lambda") is not None
+                and config.maxtime - float(res["totaltime"]) > 30.0):
+            return res
+        try:
+            from .dualrefine import refine_dual
+
+            t_ref = time.time()
+            y0 = -np.asarray(res["lambda"], np.float64)
+            y_ref, dual_ref, _, _hist = refine_dual(
+                prob.C, prob.As, np.asarray(prob.b, np.float64), y0,
+                float(config.prior_trace_bound), iters=6,
+                k_eig=min(96, max(8, prob.n - 2)),
+                verbose=config.printlevel > 1,
+            )
+            obj_c = res.get("obj_feasible")
+            obj_c = float(res["obj"]) if obj_c is None else float(obj_c)
+            if dual_ref > float(res["max_dual_value"]):
+                gap_ref = _final_gap(obj_c, dual_ref, True)
+                res["max_dual_value"] = float(dual_ref)
+                res["lambda"] = -y_ref
+                res["rel_duality_gap"] = gap_ref
+                res["min_duality_gap"] = min(
+                    float(res["min_duality_gap"]), gap_ref)
+                res["dual_refined"] = True
+                if config.printlevel > 0:
+                    print(f"host f64 dual polish: gap {gap_now:.3e} -> "
+                          f"{gap_ref:.3e} "
+                          f"({time.time() - t_ref:.1f} s)")
+            res["dual_refine_time"] = time.time() - t_ref
+            res["totaltime"] += res["dual_refine_time"]
+        except Exception as e:  # pragma: no cover - best-effort
+            res["dual_refine_error"] = f"{type(e).__name__}: {e}"
+        return res
+
+    result = _dual_polish(result)
+    spent = float(result["totaltime"])
+    # retry threshold: any certificate that MISSES the protocol
+    # tolerance is worth a fresh basin while wall-clock remains —
+    # stalled f32 trajectories scatter 1.0–2.7e-2 across seeds on the
+    # θ family, and best-of costs only time the budget already allows
     while (attempts < 2
            and np.isfinite(config.objtol) and config.objtol > 0
            and not result.get("timed_out", False)
-           and _gap_of(result) > max(10.0 * config.objtol, 0.1)
+           and _gap_of(result) > config.objtol
            and config.maxtime - spent > max(60.0, 0.2 * spent)):
         attempts += 1
         cfg2 = config.copy_with(seed=config.seed + 1031 * attempts,
@@ -490,6 +550,8 @@ def _solve(prob, dp, r: int, config: SolverConfig, dtype,
             result = res2
         result["totaltime"] = spent
         result["reseed_attempts"] = attempts
+
+    result = _dual_polish(result)
     return result
 
 
