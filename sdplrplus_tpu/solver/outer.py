@@ -506,6 +506,22 @@ def _solve(prob, dp, r: int, config: SolverConfig, dtype,
                 k_eig=min(96, max(8, prob.n - 2)),
                 verbose=config.printlevel > 1,
             )
+            obj_c0 = res.get("obj_feasible")
+            obj_c0 = (float(res["obj"]) if obj_c0 is None
+                      else float(obj_c0))
+            if (_final_gap(obj_c0, dual_ref, True) > config.objtol
+                    and config.maxtime - float(res["totaltime"])
+                    - (time.time() - t_ref) > 60.0):
+                # escalate once: wider eigenband + deeper LSQR for the
+                # stragglers the 6x96 pass leaves just above tolerance
+                y2, d2, _, _ = refine_dual(
+                    prob.C, prob.As, np.asarray(prob.b, np.float64),
+                    y_ref, float(config.prior_trace_bound), iters=10,
+                    k_eig=min(160, max(8, prob.n - 2)), lsqr_iters=300,
+                    verbose=config.printlevel > 1,
+                )
+                if d2 > dual_ref:
+                    y_ref, dual_ref = y2, d2
             obj_c = res.get("obj_feasible")
             obj_c = float(res["obj"]) if obj_c is None else float(obj_c)
             if dual_ref > float(res["max_dual_value"]):
